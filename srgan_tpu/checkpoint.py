@@ -1,0 +1,64 @@
+"""Orbax checkpoint / resume of the whole train-state pytree.
+
+Reference: srgan.py (save_models/load_models via torch.save/torch.load of
+DNN/D/G + optimizers into the trial dir; Settings.load_model_path resumes)
+[H] — here the entire :class:`~srgan_tpu.train.SRGANTrainState` (params,
+optimizer states, step) round-trips through Orbax (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+CHECKPOINT_SUBDIR = "checkpoints"
+
+
+def _abspath(path: str) -> str:
+    return os.path.abspath(os.path.expanduser(path))
+
+
+def save_state(state: Any, directory: str, step: int) -> str:
+    """Save the train state under ``directory/checkpoints/step_<N>``."""
+    path = os.path.join(_abspath(directory), CHECKPOINT_SUBDIR,
+                        f"step_{step}")
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+    return path
+
+
+def latest_checkpoint(directory: str) -> str | None:
+    root = os.path.join(_abspath(directory), CHECKPOINT_SUBDIR)
+    if not os.path.isdir(root):
+        return None
+    steps = []
+    for name in os.listdir(root):
+        if name.startswith("step_"):
+            try:
+                steps.append((int(name.split("_", 1)[1]), name))
+            except ValueError:
+                continue
+    if not steps:
+        return None
+    return os.path.join(root, max(steps)[1])
+
+
+def restore_state(template: Any, path: str) -> Any:
+    """Restore into the structure/shardings of ``template``.
+
+    ``path`` may be a checkpoint dir (``.../step_N``) or a trial dir, in
+    which case the latest checkpoint inside it is used — mirroring the
+    reference's ``Settings.load_model_path`` semantics.
+    """
+    path = _abspath(path)
+    if not os.path.basename(path).startswith("step_"):
+        found = latest_checkpoint(path)
+        if found is None:
+            raise FileNotFoundError(f"no checkpoints under {path}")
+        path = found
+    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, abstract)

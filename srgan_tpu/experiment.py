@@ -1,0 +1,237 @@
+"""The Experiment orchestrator — public surface parity with the reference.
+
+Reference: srgan.py (class Experiment: train(), training_loop(),
+dnn_training_step(), gan_training_step(), save_models()/load_models(),
+abstract dataset_setup()/model_setup()/validation_summaries()) [A][H],
+SURVEY.md §3.1/§3.2 call stacks.
+
+The orchestration (trial dirs, writers, seeding, epoch accounting,
+checkpoints) stays host-side Python; the entire optimization step is the
+fused jitted program from srgan_tpu/train.py, data-parallel over the mesh
+from srgan_tpu/parallel/mesh.py. The host loop is async: it enqueues steps
+and only synchronizes with the device on summary steps.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from srgan_tpu import checkpoint, metrics
+from srgan_tpu.data.core import (ArrayDataset, cycling_batches,
+                                 epoch_batches, prefetch_to_device)
+from srgan_tpu.parallel import mesh as pmesh
+from srgan_tpu.settings import Settings
+from srgan_tpu.train import (ModelBundle, SRGANTrainState,
+                             init_train_state, make_gan_train_step)
+from srgan_tpu.utils.seeding import KeySequence, key_for, seed_all
+from srgan_tpu.utils.summary import SummaryWriter, make_trial_directory
+
+
+class Experiment:
+    """Orchestrates one SR-GAN trial (reference `Experiment`, srgan.py [A]).
+
+    Subclasses bind an application by implementing :meth:`dataset_setup`,
+    :meth:`model_setup` and (optionally) :meth:`validation_summaries` —
+    the same three abstract hooks as the reference.
+    """
+
+    def __init__(self, settings: Settings):
+        self.settings = settings
+        self.trial_directory: Optional[str] = None
+        self.dnn_summary_writer: Optional[SummaryWriter] = None
+        self.gan_summary_writer: Optional[SummaryWriter] = None
+        self.labeled_dataset: Optional[ArrayDataset] = None
+        self.unlabeled_dataset: Optional[ArrayDataset] = None
+        self.validation_dataset: Optional[ArrayDataset] = None
+        self.models: Optional[ModelBundle] = None
+        self.state: Optional[SRGANTrainState] = None
+        self.mesh = None
+        self._train_step = None
+        self._eval_d = None
+        self._eval_dnn = None
+
+    # ------------------------------------------------------------ abstract
+    def dataset_setup(self) -> None:
+        """Populate labeled/unlabeled/validation datasets (reference hook)."""
+        raise NotImplementedError
+
+    def model_setup(self) -> Tuple[ModelBundle, Any, Any, Any]:
+        """Return (models, d_params, g_params, dnn_params) (reference hook)."""
+        raise NotImplementedError
+
+    def labeled_loss_fn(self):
+        """App-specific supervised loss; default |err|^labeled_loss_order."""
+        from srgan_tpu.train import default_labeled_loss_fn
+        return default_labeled_loss_fn(self.settings)
+
+    def latent_shape(self) -> Tuple[int, ...]:
+        return (self.settings.latent_dimension,)
+
+    # ------------------------------------------------------------- plumbing
+    def prepare_summary_writers(self) -> None:
+        """Two writers so TensorBoard compares DNN baseline vs SR-GAN
+        directly (reference: dnn_summary_writer / gan_summary_writer [A])."""
+        period = self.settings.summary_step_period
+        self.dnn_summary_writer = SummaryWriter(
+            os.path.join(self.trial_directory, "DNN"), period)
+        self.gan_summary_writer = SummaryWriter(
+            os.path.join(self.trial_directory, "GAN"), period)
+
+    def prepare_mesh(self) -> None:
+        self.mesh = pmesh.make_mesh(self.settings.data_parallel_devices)
+
+    def prepare_train_step(self) -> None:
+        step_fn = make_gan_train_step(
+            self.settings, self.models,
+            labeled_loss_fn=self.labeled_loss_fn(),
+            latent_shape=self.latent_shape())
+        self._train_step = pmesh.jit_data_parallel(
+            step_fn, self.mesh, num_batch_args=3)
+        repl = pmesh.replicated_sharding(self.mesh)
+        batch = pmesh.batch_sharding(self.mesh)
+        self._eval_d = jax.jit(
+            lambda params, x: self.models.d_apply(params, x)[0],
+            in_shardings=(repl, batch), out_shardings=batch)
+        if self.models.dnn_apply is not None:
+            self._eval_dnn = jax.jit(
+                lambda params, x: self.models.dnn_apply(params, x)[0],
+                in_shardings=(repl, batch), out_shardings=batch)
+
+    def load_models(self) -> None:
+        """Resume from ``settings.load_model_path`` (reference semantics)."""
+        if self.settings.load_model_path:
+            self.state = checkpoint.restore_state(
+                self.state, self.settings.load_model_path)
+
+    def save_models(self) -> str:
+        step = int(jax.device_get(self.state.step))
+        return checkpoint.save_state(self.state, self.trial_directory, step)
+
+    # ------------------------------------------------------------- training
+    def train(self) -> SRGANTrainState:
+        """Full trial: the reference's `Experiment.train()` call stack
+        (SURVEY.md §3.1), with the hot loop fused under jit."""
+        settings = self.settings
+        self.trial_directory = make_trial_directory(settings)
+        self.prepare_summary_writers()
+        seed_all(settings.seed)
+        self.dataset_setup()
+        models, d_params, g_params, dnn_params = self.model_setup()
+        self.models = models
+        self.state = init_train_state(settings, d_params, g_params,
+                                      dnn_params)
+        self.prepare_mesh()
+        self.prepare_train_step()
+        self.load_models()
+        self.training_loop()
+        self.save_models()
+        return self.state
+
+    def training_loop(self) -> None:
+        """Epochs over the labeled loader zipped with a cycling unlabeled
+        loader; GAN + DNN updates fused in one jitted step (SURVEY.md §3.2)."""
+        settings = self.settings
+        data_rng = np.random.default_rng(settings.seed + 1)
+        unlabeled_rng = np.random.default_rng(settings.seed + 2)
+        keys = KeySequence(settings.seed, "train")
+        batch_sharding = pmesh.batch_sharding(self.mesh)
+        unlabeled_iter = cycling_batches(
+            self.unlabeled_dataset, settings.batch_size, unlabeled_rng)
+
+        step = int(jax.device_get(self.state.step))
+        steps_per_epoch = max(
+            1, len(self.labeled_dataset) // settings.batch_size)
+        if settings.epochs_to_run is not None:
+            total_steps = settings.epochs_to_run * steps_per_epoch
+        else:
+            total_steps = settings.steps_to_run
+
+        epoch = step // steps_per_epoch
+        while step < total_steps:
+            batches = (
+                (lab + (next(unlabeled_iter)[0],))
+                for lab in epoch_batches(self.labeled_dataset,
+                                         settings.batch_size, data_rng))
+            for labeled_x, labels, unlabeled_x in prefetch_to_device(
+                    batches, batch_sharding):
+                self.state, step_metrics = self._train_step(
+                    self.state, labeled_x, labels, unlabeled_x, keys.next())
+                self.gan_summary_writer.step = step
+                self.dnn_summary_writer.step = step
+                if self.gan_summary_writer.is_summary_step():
+                    self.write_step_summaries(step_metrics)
+                if (settings.save_step_period
+                        and step > 0
+                        and step % settings.save_step_period == 0):
+                    self.save_models()
+                step += 1
+                if step >= total_steps:
+                    break
+            epoch += 1
+            self.validation_summaries(epoch=epoch, step=step)
+
+    def write_step_summaries(self, step_metrics: Dict[str, Any]) -> None:
+        host = {k: float(jax.device_get(v))
+                for k, v in step_metrics.items()}
+        for key, value in host.items():
+            writer = (self.dnn_summary_writer if key.startswith("dnn")
+                      else self.gan_summary_writer)
+            writer.add_scalar(key, value)
+
+    # ------------------------------------------------------------ validation
+    def predict(self, dataset: ArrayDataset, use_dnn: bool = False
+                ) -> np.ndarray:
+        """Batched full-dataset prediction with static batch shapes
+        (tail batch padded then truncated)."""
+        settings = self.settings
+        eval_fn = self._eval_dnn if use_dnn else self._eval_d
+        params = (self.state.dnn_params if use_dnn else self.state.d_params)
+        bs = settings.batch_size
+        n = len(dataset)
+        outs = []
+        for start in range(0, n, bs):
+            chunk = dataset.examples[start:start + bs]
+            pad = bs - len(chunk)
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], pad, axis=0)], axis=0)
+            x = pmesh.shard_batch(self.mesh, chunk)
+            out = np.asarray(jax.device_get(eval_fn(params, x)))
+            outs.append(out[:len(out) - pad] if pad else out)
+        return np.concatenate(outs, axis=0)
+
+    def validation_summaries(self, epoch: int, step: int) -> None:
+        """Per-epoch MAE/RMSE/NVE for both the SR-GAN D and the DNN baseline
+        (reference: per-epoch MAE/NVE summaries [A])."""
+        if self.validation_dataset is None or \
+                self.validation_dataset.labels is None:
+            return
+        labels = self.validation_dataset.labels
+        for use_dnn, writer in ((False, self.gan_summary_writer),
+                                (True, self.dnn_summary_writer)):
+            if use_dnn and self._eval_dnn is None:
+                continue
+            preds = self.predict(self.validation_dataset, use_dnn=use_dnn)
+            writer.add_scalar("validation/MAE",
+                              float(metrics.mae(preds, labels)), step)
+            writer.add_scalar("validation/RMSE",
+                              float(metrics.rmse(preds, labels)), step)
+            writer.add_scalar("validation/NVE",
+                              float(metrics.nve(preds, labels)), step)
+
+    def evaluate(self, dataset: Optional[ArrayDataset] = None,
+                 use_dnn: bool = False) -> Dict[str, float]:
+        """Explicit eval entry point (SURVEY.md §3.5 recommends exposing the
+        reference's implicit validation path as `Experiment.evaluate()`)."""
+        dataset = dataset or self.validation_dataset
+        preds = self.predict(dataset, use_dnn=use_dnn)
+        labels = dataset.labels
+        return {"MAE": float(metrics.mae(preds, labels)),
+                "RMSE": float(metrics.rmse(preds, labels)),
+                "NVE": float(metrics.nve(preds, labels))}

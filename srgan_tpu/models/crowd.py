@@ -1,0 +1,70 @@
+"""Crowd-counting models: two-head JointCNN and the patch DCGenerator.
+
+Reference: crowd/models.py (JointCNN, DCGenerator) [A][H] — a conv net over
+image patches with two heads, a predicted **density map** and a **count
+map** (count = sum over the map), used both as the SR-GAN discriminator D
+and as the supervised DNN baseline; plus a DCGAN generator emitting image
+patches (SURVEY.md §2 5c).
+
+TPU-first notes: stride-2 convs (instead of pooling) keep everything as
+MXU-tileable matmuls; widths are multiples of 64; GroupNorm (per-example)
+keeps the gradient-penalty double differentiation clean (see dcgan.py).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from srgan_tpu.models.dcgan import DCGANGenerator
+
+
+class JointCNN(nn.Module):
+    """Patch → (density map, count map) + features.
+
+    The density head regresses the per-pixel Gaussian density label at 1/4
+    resolution; the count head regresses a coarse count map whose sum is the
+    patch count. ``prediction`` is the pair ``(density_map, count_map)``;
+    `features` is the globally-pooled penultimate activation map.
+    """
+    base_width: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, patches: jax.Array
+                 ) -> Tuple[Tuple[jax.Array, jax.Array], jax.Array]:
+        x = patches.astype(self.dtype)
+        w = self.base_width
+        # Stage 1+2: /4 spatial, growing width.
+        for width in (w, 2 * w):
+            x = nn.Conv(width, (3, 3), strides=(2, 2), padding="SAME",
+                        dtype=self.dtype)(x)
+            x = nn.GroupNorm(num_groups=min(32, width), dtype=self.dtype)(x)
+            x = nn.leaky_relu(x, 0.2)
+        # Trunk at 1/4 resolution.
+        for width in (4 * w, 4 * w):
+            x = nn.Conv(width, (3, 3), padding="SAME", dtype=self.dtype)(x)
+            x = nn.GroupNorm(num_groups=32, dtype=self.dtype)(x)
+            x = nn.leaky_relu(x, 0.2)
+        trunk = x
+        # Heads (1×1 convs → maps at 1/4 input resolution).
+        density = nn.Conv(1, (1, 1), dtype=self.dtype,
+                          name="density_head")(trunk).squeeze(-1)
+        count = nn.Conv(1, (1, 1), dtype=self.dtype,
+                        name="count_head")(trunk).squeeze(-1)
+        features = jnp.mean(trunk, axis=(1, 2))  # [B, 4w] global pool
+        return ((density.astype(jnp.float32), count.astype(jnp.float32)),
+                features.astype(jnp.float32))
+
+
+class CrowdDCGenerator(DCGANGenerator):
+    """DCGAN generator emitting crowd image patches.
+
+    Reference: crowd/models.py (DCGenerator) [A][H]. Same architecture as
+    the age generator, parameterized to the crowd patch size.
+    """
+    image_size: int = 64
+    channels: int = 3

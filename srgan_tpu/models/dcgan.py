@@ -1,0 +1,105 @@
+"""DCGAN-style generator and convolutional regressor (age / driving apps).
+
+Reference: age/models.py (Generator, age DCNN) [A][H] and driving/models.py
+[A][M] — DCGAN transposed-conv generator (z → image) and a conv regressor
+with the feature side-channel (SURVEY.md §2 5b/5d).
+
+TPU-first design notes:
+* NHWC layout (flax default) — XLA:TPU's preferred conv layout; channel
+  counts are multiples of 64/128 so the im2col'd matmuls tile the 128×128 MXU.
+* ``lax.conv_transpose`` / ``conv_general_dilated`` replace cuDNN
+  (SURVEY.md §2 native-component checklist (a)).
+* GroupNorm instead of BatchNorm: batch statistics inside the
+  gradient-penalty branch would need the reference's BN-freeze trick
+  (SURVEY.md §7 hard part (a)); GroupNorm is per-example, so the penalty's
+  double differentiation is clean and batch-size independent — this also
+  removes a cross-device BN-stats sync under data parallelism.
+* ``dtype`` casts compute to bf16 for MXU throughput; params stay fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class DCGANGenerator(nn.Module):
+    """z → image, via a stack of stride-2 transposed convolutions.
+
+    Output is ``tanh``-bounded to [-1, 1] (matches the reference's
+    normalized-image convention, SURVEY.md §2 6c).
+    """
+    image_size: int = 64
+    channels: int = 3
+    base_width: int = 64          # width at the last (largest) deconv
+    latent_dimension: int = 100
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z: jax.Array) -> jax.Array:
+        assert self.image_size % 8 == 0, "image_size must be divisible by 8"
+        start = 4
+        num_ups = 0
+        size = start
+        while size < self.image_size:
+            size *= 2
+            num_ups += 1
+        x = z.astype(self.dtype)
+        width = self.base_width * (2 ** (num_ups - 1))
+        x = nn.Dense(start * start * width, dtype=self.dtype)(x)
+        x = x.reshape(x.shape[0], start, start, width)
+        x = nn.GroupNorm(num_groups=32, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        for i in range(num_ups):
+            out_width = (self.base_width * (2 ** (num_ups - 2 - i))
+                         if i < num_ups - 1 else self.channels)
+            x = nn.ConvTranspose(out_width, (4, 4), strides=(2, 2),
+                                 padding="SAME", dtype=self.dtype)(x)
+            if i < num_ups - 1:
+                x = nn.GroupNorm(num_groups=min(32, out_width),
+                                 dtype=self.dtype)(x)
+                x = nn.relu(x)
+        return jnp.tanh(x).astype(jnp.float32)
+
+
+class ConvRegressor(nn.Module):
+    """Image → scalar regression (age / steering angle), DCGAN-mirror conv
+    stack, with the penultimate dense activations as `features`.
+
+    Reference: age/models.py conv regressor [A][H]; used both as the SR-GAN
+    discriminator D and as the supervised DNN baseline (SURVEY.md §2 comp 8).
+    """
+    base_width: int = 64
+    widths: Sequence[int] = None          # override per-stage widths
+    feature_size: int = 1024
+    output_size: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jax.Array
+                 ) -> Tuple[jax.Array, jax.Array]:
+        x = images.astype(self.dtype)
+        widths = self.widths
+        if widths is None:
+            n_down = 0
+            size = x.shape[1]
+            while size > 4:
+                size //= 2
+                n_down += 1
+            widths = [self.base_width * (2 ** min(i, 3))
+                      for i in range(n_down)]
+        for width in widths:
+            x = nn.Conv(width, (4, 4), strides=(2, 2), padding="SAME",
+                        dtype=self.dtype)(x)
+            x = nn.GroupNorm(num_groups=min(32, width), dtype=self.dtype)(x)
+            x = nn.leaky_relu(x, 0.2)
+        x = x.reshape(x.shape[0], -1)
+        features = nn.leaky_relu(
+            nn.Dense(self.feature_size, dtype=self.dtype)(x), 0.2)
+        prediction = nn.Dense(self.output_size, dtype=self.dtype)(features)
+        if self.output_size == 1:
+            prediction = prediction.squeeze(-1)
+        return prediction.astype(jnp.float32), features.astype(jnp.float32)

@@ -1,0 +1,114 @@
+"""Experiment configuration.
+
+Mirrors the reference's ``settings.py`` ``Settings`` attribute bag
+(SURVEY.md §2 component 2, reference: settings.py (Settings) [H]) as a typed
+dataclass. Field names follow the reference where SURVEY.md records them;
+defaults marked *provisional* could not be read from the (empty) reference
+mount and live here, in one place, so they can be corrected wholesale once
+the mount is readable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass
+class Settings:
+    """Hyperparameter / configuration bag consumed by :class:`Experiment`.
+
+    Reference: settings.py (Settings) [A][H] — a plain mutable attribute bag.
+    """
+
+    # ------------------------------------------------------------------ trial
+    trial_name: str = "base"
+    logs_directory: str = "logs"
+    load_model_path: Optional[str] = None
+    seed: int = 0
+
+    # ------------------------------------------------------------- schedule
+    batch_size: int = 32
+    steps_to_run: int = 1000
+    epochs_to_run: Optional[int] = None  # if set, overrides steps_to_run
+    summary_step_period: int = 100
+    save_step_period: Optional[int] = None  # default: save at end only
+    # Reference trains G every `generator_training_step_period` D steps [M].
+    generator_training_step_period: int = 1  # provisional
+
+    # ------------------------------------------------------------ optimizers
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.0  # applied to D/DNN only (SURVEY §3.1 [M])
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+
+    # ---------------------------------------------------------------- data
+    labeled_dataset_size: int = 50
+    unlabeled_dataset_size: int = 50000
+    validation_dataset_size: int = 1000
+    test_dataset_size: int = 1000
+    number_of_data_workers: int = 4  # host-side prefetch threads
+    # Distribution offset between labeled/unlabeled/fake populations; the
+    # generator's z is drawn from a 2-component normal mixture at ±mean_offset
+    # (reference: srgan.py z sampling via MixtureModel [H]).
+    mean_offset: float = 0.0
+
+    # ---------------------------------------------------------------- model
+    latent_dimension: int = 10
+    hidden_size: int = 10
+
+    # ---------------------------------------------------------------- losses
+    # Loss-stream multipliers (reference names per SURVEY §2 component 2):
+    unlabeled_loss_multiplier: float = 1e0
+    fake_loss_multiplier: float = 1e0
+    gradient_penalty_multiplier: float = 1e1
+    # Loss-order exponents (MSE-family exponents / feature-norm orders):
+    labeled_loss_order: float = 2.0
+    unlabeled_loss_order: float = 2.0
+    fake_loss_order: float = 1.0
+    # Scale applied to the contrasting distance before negation:
+    # 'log' → -log(d + 1) (SURVEY §2: "log-scaled negative distance").
+    contrasting_distance_function: str = "log"
+    normalize_feature_norm: bool = False  # provisional reference option [L]
+
+    # ------------------------------------------------------------- precision
+    # fp32 keeps fidelity with the reference; bf16 engages the MXU's native
+    # dtype for throughput runs (params stay fp32, compute casts to bf16).
+    compute_dtype: str = "float32"  # or "bfloat16"
+
+    # ------------------------------------------------------------ parallelism
+    # 1-D data-parallel mesh over ICI (SURVEY §2 component 12 [A]). The batch
+    # is sharded over 'data'; parameters are replicated; XLA inserts the
+    # gradient all-reduce.
+    data_parallel_devices: Optional[int] = None  # None → all local devices
+
+    # ------------------------------------------------------------- app extras
+    # Crowd:
+    crowd_database: str = "ucf_qnrf"
+    image_patch_size: int = 224
+    label_patch_size: int = 224
+    map_directory_name: str = "density_maps"
+    # Age:
+    age_image_size: int = 64
+    # Driving:
+    driving_frame_stack: int = 1
+
+    def copy(self, **overrides) -> "Settings":
+        return dataclasses.replace(self, **overrides)
+
+    # Reference trial naming appends settings-derived tokens to the trial
+    # name (utility.py trial-dir helpers [H]).
+    def trial_directory_name(self) -> str:
+        from srgan_tpu.utils.scientific import clean_scientific_notation
+
+        tokens = [
+            self.trial_name,
+            f"ul{clean_scientific_notation(self.unlabeled_loss_multiplier)}",
+            f"fl{clean_scientific_notation(self.fake_loss_multiplier)}",
+            f"gp{clean_scientific_notation(self.gradient_penalty_multiplier)}",
+            f"lr{clean_scientific_notation(self.learning_rate)}",
+            f"bs{self.batch_size}",
+            f"l{self.labeled_dataset_size}",
+            f"u{self.unlabeled_dataset_size}",
+        ]
+        return "_".join(tokens)

@@ -1,0 +1,40 @@
+"""Deterministic seeding across host RNGs + JAX key derivation.
+
+Reference: utility.py (seed_all) [H]. JAX's splittable keys replace torch's
+global RNG: :func:`experiment_keys` derives independent named keys from one
+seed so every stochastic site (data, z-draws, α-draws, init) is reproducible.
+"""
+
+from __future__ import annotations
+
+import random
+
+import jax
+import numpy as np
+
+
+def seed_all(seed: int = 0) -> None:
+    """Seed Python / NumPy global RNGs (host-side data pipelines)."""
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def key_for(seed: int, name: str) -> jax.Array:
+    """Derive a named fold of the experiment key (stable across runs)."""
+    return jax.random.fold_in(jax.random.key(seed),
+                              abs(hash(name)) % (2 ** 31))
+
+
+class KeySequence:
+    """A stateful stream of fresh JAX PRNG keys for host-side loops.
+
+    The jitted train step itself takes explicit keys; this object only
+    sequences them from the host loop — keys never leak global state.
+    """
+
+    def __init__(self, seed: int, name: str = "train"):
+        self._key = key_for(seed, name)
+
+    def next(self) -> jax.Array:
+        self._key, sub = jax.random.split(self._key)
+        return sub

@@ -1,0 +1,75 @@
+"""End-to-end coefficient SR-GAN trial on CPU (SURVEY.md §4 integration:
+loss decrease + checkpoint/restore round-trip + summary output)."""
+
+import glob
+import json
+import os
+
+import jax
+import numpy as np
+
+from srgan_tpu import checkpoint
+from srgan_tpu.apps.coefficient import CoefficientExperiment
+from srgan_tpu.settings import Settings
+
+
+def _settings(tmp_path, **kw):
+    base = dict(trial_name="test", logs_directory=str(tmp_path / "logs"),
+                batch_size=16, hidden_size=8, labeled_dataset_size=64,
+                unlabeled_dataset_size=256, validation_dataset_size=64,
+                steps_to_run=12, summary_step_period=4, learning_rate=1e-3,
+                seed=0)
+    base.update(kw)
+    return Settings(**base)
+
+
+def test_full_trial_runs_and_writes_summaries(tmp_path):
+    settings = _settings(tmp_path)
+    exp = CoefficientExperiment(settings)
+    state = exp.train()
+    assert int(jax.device_get(state.step)) == 12
+    # scalar summaries written for both writers
+    gan_scalars = os.path.join(exp.trial_directory, "GAN", "scalars.jsonl")
+    dnn_scalars = os.path.join(exp.trial_directory, "DNN", "scalars.jsonl")
+    assert os.path.exists(gan_scalars) and os.path.exists(dnn_scalars)
+    tags = {json.loads(line)["tag"] for line in open(gan_scalars)}
+    assert {"d_labeled_loss", "d_unlabeled_loss", "d_fake_loss",
+            "d_gradient_penalty", "g_loss",
+            "validation/MAE", "validation/NVE"} <= tags
+    # checkpoint written
+    assert checkpoint.latest_checkpoint(exp.trial_directory) is not None
+    # explicit evaluate() path
+    result = exp.evaluate()
+    assert np.isfinite(result["MAE"]) and np.isfinite(result["NVE"])
+
+
+def test_checkpoint_resume_roundtrip(tmp_path):
+    settings = _settings(tmp_path, steps_to_run=6)
+    exp = CoefficientExperiment(settings)
+    state = exp.train()
+    ckpt_dir = exp.trial_directory
+
+    # Resume into a new trial from the saved path; runs 6 more steps.
+    settings2 = _settings(tmp_path, steps_to_run=12,
+                          load_model_path=ckpt_dir)
+    exp2 = CoefficientExperiment(settings2)
+    state2 = exp2.train()
+    assert int(jax.device_get(state2.step)) == 12
+
+    # Restored leaves match the saved ones exactly at load time.
+    restored = checkpoint.restore_state(state, ckpt_dir)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_training_improves_over_untrained(tmp_path):
+    settings = _settings(tmp_path, steps_to_run=300,
+                         labeled_dataset_size=128, learning_rate=3e-3,
+                         summary_step_period=100)
+    exp = CoefficientExperiment(settings)
+    exp.train()
+    trained = exp.evaluate()
+    labels = exp.validation_dataset.labels
+    # predicting the mean label scores MAE ≈ E|a| ≈ 0.8 for a~N(0,1)
+    naive_mae = float(np.mean(np.abs(labels - labels.mean())))
+    assert trained["MAE"] < naive_mae
