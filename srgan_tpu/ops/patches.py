@@ -1,0 +1,162 @@
+"""Random patch extraction + normalization for crowd training batches.
+
+Reference: crowd/data.py transform classes (random patch selection,
+horizontal flip, mean/std normalization, numpy→tensor) [A][H] — per-sample
+Python/PIL work in DataLoader workers in the reference; here the transform
+runs ON the TPU as a Pallas kernel + fused XLA tail (BASELINE.json north
+star).
+
+Design (shaped by Mosaic's memory tiling):
+* A Pallas kernel does the bandwidth-critical part: for each example it
+  DMAs only the P needed image rows HBM→VMEM (dynamic sublane offset,
+  full lanes — reads P/H of the image instead of all of it) and applies
+  the affine normalization on the VPU. Per-example row offsets arrive as
+  scalar-prefetch operands; the grid pipeline double-buffers the DMAs.
+* The x-window (a *lane-dimension* dynamic slice, which Mosaic only allows
+  at 128-aligned offsets) and the horizontal flip (`rev` has no Mosaic
+  lowering) are done by the XLA wrapper with a vmapped
+  ``lax.dynamic_slice`` + masked select over the kernel's [B, P, W, C]
+  output — XLA emits its own rotate/mask code for those and fuses them, so
+  the whole transform still executes on device with no host round-trip.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+_SUBLANE = 8  # f32 sublane tile: row DMA offsets must be 8-aligned
+_LANE = 128   # lane tile: flattened row length must be a multiple
+
+
+def padded_row_length(width: int, channels: int) -> int:
+    """Lane-padded W*C — store datasets at this row length to make the
+    per-call pad in :func:`extract_patches` free."""
+    return -(-(width * channels) // _LANE) * _LANE
+
+
+def _rows_kernel(offsets_ref, images_ref, scale_ref, shift_ref,
+                 out_ref, scratch_ref, sem_ref):
+    """One example per grid step: DMA P+8 rows from an aligned base,
+    normalize.
+
+    Mosaic requires the sublane (row) DMA offset to be tile-aligned
+    (8 rows for f32), so the kernel reads from ``align8(oy)`` — clamped so
+    the window stays in bounds — and the XLA tail slices off the ≤8-row
+    remainder along with the x-window.
+
+    offsets_ref: SMEM scalar-prefetch [B, 2] int32 (aligned_oy, ox)
+    images_ref:  HBM [B, H, W*C]
+    scale_ref/shift_ref: SMEM (1, 1) float32 — out = x * scale + shift
+    out_ref:     VMEM [1, P + 8, W*C]
+    scratch_ref: VMEM [P + 8, W*C]
+    """
+    i = pl.program_id(0)
+    rows = out_ref.shape[1]
+    # The wrapper guarantees 8-alignment; Mosaic needs the hint to prove it.
+    base = pl.multiple_of(offsets_ref[i, 0], _SUBLANE)
+    dma = pltpu.make_async_copy(
+        images_ref.at[i, pl.ds(base, rows), :], scratch_ref, sem_ref)
+    dma.start()
+    dma.wait()
+    out_ref[0] = (scratch_ref[:].astype(jnp.float32) * scale_ref[0, 0]
+                  + shift_ref[0, 0])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("patch_size", "interpret"))
+def extract_patches(images: jax.Array, offsets: jax.Array,
+                    flips: jax.Array, *, patch_size: int,
+                    scale: float = 1.0, shift: float = 0.0,
+                    interpret: bool = False) -> jax.Array:
+    """Extract per-example patches with flip + affine normalization.
+
+    Args:
+      images:  [B, H, W, C] (any float/int dtype; HBM-resident).
+      offsets: [B, 2] int32 top-left (y, x); caller guarantees in-bounds.
+      flips:   [B] int32/bool horizontal-flip flags.
+      patch_size: static patch side P.
+      scale, shift: ``out = x * scale + shift`` (e.g. scale=2/255, shift=-1
+        for the reference's [-1, 1] image normalization).
+
+    Returns: [B, P, P, C] float32.
+    """
+    b, h, w, c = images.shape
+    p = patch_size
+    rows_out = p + _SUBLANE
+    if h < rows_out:
+        raise ValueError(f"image height {h} must be ≥ patch_size + "
+                         f"{_SUBLANE} = {rows_out}")
+    # The HBM row DMA takes full lanes, so the flattened row length W*C
+    # must be a lane-tile multiple; pad once here (store datasets
+    # pre-padded via `padded_row_length` to make this a no-op).
+    wc = w * c
+    wc_padded = -(-wc // _LANE) * _LANE
+    offsets = offsets.astype(jnp.int32)
+    oy, ox = offsets[:, 0], offsets[:, 1]
+    aligned_oy = jnp.minimum((oy // _SUBLANE) * _SUBLANE, h - rows_out)
+    dy = oy - aligned_oy  # ∈ [0, 8]
+    kernel_offsets = jnp.stack([aligned_oy, ox], axis=1)
+    scale_arr = jnp.full((1, 1), scale, jnp.float32)
+    shift_arr = jnp.full((1, 1), shift, jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            # Full images must stay HBM-resident; only the row window
+            # ever reaches VMEM.
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows_out, wc_padded),
+                               lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((rows_out, wc_padded), images.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    flat = images.reshape(b, h, wc)
+    if wc_padded != wc:
+        flat = jnp.pad(flat, ((0, 0), (0, 0), (0, wc_padded - wc)))
+    rows = pl.pallas_call(
+        _rows_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, rows_out, wc_padded),
+                                       jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(kernel_offsets, flat, scale_arr, shift_arr)
+    rows = rows[:, :, :wc].reshape(b, rows_out, w, c)
+
+    def yx_window(row_img: jax.Array, dy_i: jax.Array, ox_i: jax.Array
+                  ) -> jax.Array:
+        return jax.lax.dynamic_slice(row_img, (dy_i, ox_i, 0), (p, p, c))
+
+    patches = jax.vmap(yx_window)(rows, dy, ox)
+    flipped = jnp.flip(patches, axis=2)
+    do_flip = (flips.astype(jnp.int32) == 1)[:, None, None, None]
+    return jnp.where(do_flip, flipped, patches)
+
+
+def extract_patches_reference(images: np.ndarray, offsets: np.ndarray,
+                              flips: np.ndarray, patch_size: int,
+                              scale: float = 1.0, shift: float = 0.0
+                              ) -> np.ndarray:
+    """NumPy golden model for the kernel tests (SURVEY.md §4)."""
+    b = images.shape[0]
+    p = patch_size
+    out = np.empty((b, p, p, images.shape[3]), np.float32)
+    for i in range(b):
+        oy, ox = int(offsets[i, 0]), int(offsets[i, 1])
+        patch = images[i, oy:oy + p, ox:ox + p].astype(np.float32)
+        if flips[i]:
+            patch = patch[:, ::-1]
+        out[i] = patch * scale + shift
+    return out

@@ -1,0 +1,110 @@
+"""Pallas kernel tests in interpreter mode against NumPy golden models
+(SURVEY.md §4: interpret-mode CPU tests vs reference implementations)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from srgan_tpu.ops.density import density_maps, density_maps_reference
+from srgan_tpu.ops.patches import extract_patches, extract_patches_reference
+
+
+class TestDensityMaps:
+    def _random_heads(self, b=2, n=16, h=32, w=48, seed=0):
+        rng = np.random.default_rng(seed)
+        heads = np.stack([rng.uniform(0, h, (b, n)),
+                          rng.uniform(0, w, (b, n))],
+                         axis=-1).astype(np.float32)
+        counts = rng.integers(0, n + 1, (b,)).astype(np.int32)
+        return heads, counts
+
+    def test_matches_numpy_reference(self):
+        heads, counts = self._random_heads()
+        got = np.asarray(density_maps(jnp.asarray(heads),
+                                      jnp.asarray(counts), 2.0,
+                                      height=32, width=48, interpret=True))
+        want = density_maps_reference(heads, counts, 2.0, 32, 48)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+    def test_integral_equals_head_count(self):
+        """SURVEY.md §4: Σ density == head count within ε, even for heads
+        clipped at borders."""
+        heads = np.array([[[0.0, 0.0], [16.0, 24.0], [31.0, 47.0]]],
+                         np.float32)
+        counts = np.array([3], np.int32)
+        maps = np.asarray(density_maps(jnp.asarray(heads),
+                                       jnp.asarray(counts), 3.0,
+                                       height=32, width=48, interpret=True))
+        np.testing.assert_allclose(maps.sum(), 3.0, rtol=1e-4)
+
+    def test_zero_heads_gives_zero_map(self):
+        heads = np.zeros((1, 4, 2), np.float32)
+        counts = np.array([0], np.int32)
+        maps = np.asarray(density_maps(jnp.asarray(heads),
+                                       jnp.asarray(counts), 2.0,
+                                       height=16, width=16, interpret=True))
+        assert maps.sum() == 0.0
+
+    def test_padding_heads_ignored(self):
+        """Padded (invalid) head slots must not contribute mass."""
+        heads = np.zeros((1, 8, 2), np.float32)
+        heads[0, 0] = [8.0, 8.0]
+        heads[0, 1:] = [2.0, 2.0]  # garbage padding
+        counts = np.array([1], np.int32)
+        maps = np.asarray(density_maps(jnp.asarray(heads),
+                                       jnp.asarray(counts), 1.5,
+                                       height=16, width=16, interpret=True))
+        np.testing.assert_allclose(maps.sum(), 1.0, rtol=1e-4)
+        assert maps[0, 8, 8] > maps[0, 2, 2]
+
+
+class TestExtractPatches:
+    def _data(self, b=3, h=24, w=40, c=3, p=8, seed=0):
+        rng = np.random.default_rng(seed)
+        images = rng.integers(0, 256, (b, h, w, c)).astype(np.float32)
+        offsets = np.stack([rng.integers(0, h - p + 1, b),
+                            rng.integers(0, w - p + 1, b)],
+                           axis=-1).astype(np.int32)
+        flips = rng.integers(0, 2, b).astype(np.int32)
+        return images, offsets, flips
+
+    def test_matches_numpy_reference(self):
+        images, offsets, flips = self._data()
+        got = np.asarray(extract_patches(
+            jnp.asarray(images), jnp.asarray(offsets), jnp.asarray(flips),
+            patch_size=8, interpret=True))
+        want = extract_patches_reference(images, offsets, flips, 8)
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_normalization_to_minus_one_one(self):
+        """Reference's [-1, 1] normalization: x * 2/255 − 1."""
+        images, offsets, flips = self._data()
+        flips[:] = 0
+        got = np.asarray(extract_patches(
+            jnp.asarray(images), jnp.asarray(offsets), jnp.asarray(flips),
+            patch_size=8, scale=2.0 / 255.0, shift=-1.0, interpret=True))
+        assert got.min() >= -1.0 - 1e-6 and got.max() <= 1.0 + 1e-6
+        want = extract_patches_reference(images, offsets, flips, 8,
+                                         scale=2.0 / 255.0, shift=-1.0)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_flip_is_horizontal_only(self):
+        images, offsets, _ = self._data(b=1)
+        offsets[:] = 0
+        noflip = np.asarray(extract_patches(
+            jnp.asarray(images), jnp.asarray(offsets),
+            jnp.zeros(1, jnp.int32), patch_size=8, interpret=True))
+        flip = np.asarray(extract_patches(
+            jnp.asarray(images), jnp.asarray(offsets),
+            jnp.ones(1, jnp.int32), patch_size=8, interpret=True))
+        np.testing.assert_allclose(flip, noflip[:, :, ::-1], rtol=1e-6)
+
+    def test_corner_offsets(self):
+        images, _, _ = self._data(b=2, h=24, w=40, p=8)
+        offsets = np.array([[0, 0], [24 - 8, 40 - 8]], np.int32)
+        flips = np.zeros(2, np.int32)
+        got = np.asarray(extract_patches(
+            jnp.asarray(images), jnp.asarray(offsets), jnp.asarray(flips),
+            patch_size=8, interpret=True))
+        np.testing.assert_allclose(got[0], images[0, :8, :8], rtol=1e-6)
+        np.testing.assert_allclose(got[1], images[1, -8:, -8:], rtol=1e-6)
