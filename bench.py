@@ -1,0 +1,106 @@
+"""Benchmark: crowd SR-GAN training throughput on the local TPU chip.
+
+Measures the steady-state fused-step rate of the flagship configuration —
+JointCNN discriminator + DCGAN patch generator + DNN baseline, 224×224
+patches, with the on-device Pallas input pipeline (random patch sampling
+from an HBM-resident database) in the loop — i.e. the same end-to-end path
+``CrowdExperiment.train()`` runs.
+
+Prints ONE JSON line:
+  {"metric": "crowd_srgan_images_per_sec_per_chip", "value": N,
+   "unit": "images/sec/chip", "vs_baseline": N}
+
+vs_baseline: the reference repo publishes no numbers (BASELINE.md;
+``published: {}``), so the denominator is an ESTIMATE of the PyTorch
+reference's single-GPU rate on its era hardware: ~64 images/sec for the
+gan+dnn step at 224px (4 D-forwards + double-backward gradient penalty in
+eager mode, CPU DataLoader workers). The BASELINE.json north star of
+"≥10× reference" therefore corresponds to vs_baseline ≥ 10.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_IMAGES_PER_SEC_ESTIMATE = 64.0
+
+BATCH = 64
+PATCH = 224
+WARMUP_STEPS = 3
+TIMED_STEPS = 20
+
+
+def main() -> None:
+    import jax
+
+    from srgan_tpu.apps.crowd import CrowdExperiment
+    from srgan_tpu.settings import Settings
+
+    settings = Settings(
+        trial_name="bench", logs_directory="/tmp/srgan_tpu_bench",
+        batch_size=BATCH, image_patch_size=PATCH,
+        model_base_width=64, latent_dimension=100,
+        labeled_dataset_size=16, unlabeled_dataset_size=16,
+        validation_dataset_size=2,
+        crowd_image_height=384, crowd_image_width=512,
+        steps_to_run=0, seed=0,
+        compute_dtype="bfloat16",
+    )
+    exp = CrowdExperiment(settings)
+    exp.dataset_setup()
+    models, d_params, g_params, dnn_params = exp.model_setup()
+    from srgan_tpu.train import init_train_state
+    exp.models = models
+    exp.state = init_train_state(settings, d_params, g_params, dnn_params)
+    exp.prepare_mesh()
+    exp.prepare_train_step()
+
+    rng = np.random.default_rng(0)
+    data = exp._device_data
+    hw = exp.labeled_db.image_size
+
+    def one_step(key):
+        idx, offs, flips = exp._random_patch_args(
+            rng, len(exp.labeled_db), hw, BATCH)
+        uidx, uoffs, uflips = exp._random_patch_args(
+            rng, len(exp.unlabeled_db), hw, BATCH)
+        patches, density, upatches = exp._sample_batch(
+            data["labeled_images"], data["labeled_density"],
+            data["unlabeled_images"], idx, offs, flips,
+            uidx, uoffs, uflips)
+        exp.state, metrics = exp._train_step(
+            exp.state, patches, density, upatches, key)
+        return metrics
+
+    import jax.random as jrandom
+    key = jrandom.key(0)
+    for _ in range(WARMUP_STEPS):
+        key, sub = jrandom.split(key)
+        metrics = one_step(sub)
+    # device_get of a scalar is the reliable full sync (block_until_ready
+    # returns early through the remote-TPU tunnel on this machine).
+    float(jax.device_get(metrics["d_total_loss"]))
+
+    start = time.perf_counter()
+    for _ in range(TIMED_STEPS):
+        key, sub = jrandom.split(key)
+        metrics = one_step(sub)
+    float(jax.device_get(metrics["d_total_loss"]))
+    elapsed = time.perf_counter() - start
+
+    images_per_sec = BATCH * TIMED_STEPS / elapsed
+    print(json.dumps({
+        "metric": "crowd_srgan_images_per_sec_per_chip",
+        "value": round(images_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(
+            images_per_sec / REFERENCE_IMAGES_PER_SEC_ESTIMATE, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

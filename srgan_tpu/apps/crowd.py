@@ -1,0 +1,270 @@
+"""Crowd-counting application: UCF-QNRF/ShanghaiTech SR-GAN.
+
+Reference: crowd/srgan.py (CrowdExperiment) [H] — binds the preprocessed
+crowd database to the two-head JointCNN discriminator and the patch
+DCGenerator; per-epoch count MAE/NVE/RMSE over a deterministic patch grid
+with overlap averaging (SURVEY.md §3.3, §3.5).
+
+TPU-first data path: the whole split lives in HBM; every training step
+draws random (index, offset, flip) triples on the host (a few hundred
+bytes) and the Pallas input kernel materializes the normalized image and
+density patches on device (srgan_tpu/ops/patches.py). Image and density
+patches share offsets/flips, so augmentation stays label-consistent.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from srgan_tpu import metrics
+from srgan_tpu.data.crowd import (CrowdDatabase, synthetic_crowd_database)
+from srgan_tpu.experiment import Experiment
+from srgan_tpu.models.crowd import CrowdDCGenerator, JointCNN
+from srgan_tpu.ops.patches import extract_patches
+from srgan_tpu.parallel import mesh as pmesh
+from srgan_tpu.train import ModelBundle
+from srgan_tpu.utils.seeding import key_for
+
+DENSITY_DOWNSAMPLE = 4  # JointCNN heads emit 1/4-resolution maps
+
+
+def sum_pool(x: jax.Array, factor: int) -> jax.Array:
+    """[B, H, W] → [B, H/f, W/f] by window summation (mass-preserving)."""
+    b, h, w = x.shape
+    return x.reshape(b, h // factor, factor,
+                     w // factor, factor).sum(axis=(2, 4))
+
+
+class CrowdExperiment(Experiment):
+    """SR-GAN crowd counting with on-device patch pipeline."""
+
+    def __init__(self, settings):
+        super().__init__(settings)
+        self.labeled_db: Optional[CrowdDatabase] = None
+        self.unlabeled_db: Optional[CrowdDatabase] = None
+        self.validation_db: Optional[CrowdDatabase] = None
+        self._device_data = None
+        self._sample_batch = None
+        self._eval_patches = None
+
+    # ------------------------------------------------------------ datasets
+    def _load_databases(self) -> Tuple[CrowdDatabase, CrowdDatabase,
+                                       CrowdDatabase]:
+        settings = self.settings
+        if settings.crowd_database_path:
+            root = settings.crowd_database_path
+            return (CrowdDatabase.load(os.path.join(root, "labeled.npz")),
+                    CrowdDatabase.load(os.path.join(root, "unlabeled.npz")),
+                    CrowdDatabase.load(os.path.join(root, "validation.npz")))
+        # Hermetic fallback: procedural data (no real database on disk).
+        h, w = settings.crowd_image_height, settings.crowd_image_width
+        make = functools.partial(
+            synthetic_crowd_database, height=h, width=w,
+            max_heads=settings.crowd_synthetic_max_heads,
+            sigma=settings.crowd_sigma)
+        return (make(settings.labeled_dataset_size, seed=settings.seed),
+                make(settings.unlabeled_dataset_size,
+                     seed=settings.seed + 1),
+                make(settings.validation_dataset_size,
+                     seed=settings.seed + 2))
+
+    def dataset_setup(self) -> None:
+        self.labeled_db, self.unlabeled_db, self.validation_db = \
+            self._load_databases()
+        # Experiment bookkeeping (steps_per_epoch etc.) sees lengths only.
+        self.labeled_dataset = self.labeled_db
+        self.unlabeled_dataset = self.unlabeled_db
+        self.validation_dataset = None  # crowd has its own validation path
+
+    def _upload_databases(self) -> None:
+        """Place split arrays in device HBM once (float32; raw 0..255)."""
+        put = jax.device_put
+        self._device_data = {
+            "labeled_images": put(
+                self.labeled_db.images.astype(np.float32)),
+            "labeled_density": put(
+                self.labeled_db.density_maps[..., None]),
+            "unlabeled_images": put(
+                self.unlabeled_db.images.astype(np.float32)),
+            "validation_images": put(
+                self.validation_db.images.astype(np.float32)),
+        }
+
+    # -------------------------------------------------------------- models
+    def model_setup(self) -> Tuple[ModelBundle, Any, Any, Any]:
+        settings = self.settings
+        dtype = jnp.dtype(settings.compute_dtype)
+        p = settings.image_patch_size
+        w = settings.model_base_width
+        d_model = JointCNN(base_width=w, dtype=dtype)
+        dnn_model = JointCNN(base_width=w, dtype=dtype)
+        g_model = CrowdDCGenerator(
+            image_size=p, base_width=w,
+            latent_dimension=settings.latent_dimension, dtype=dtype)
+        init_key = key_for(settings.seed, "init")
+        k_d, k_g, k_dnn = jax.random.split(init_key, 3)
+        patch = jnp.zeros((1, p, p, 3), jnp.float32)
+        z = jnp.zeros((1, settings.latent_dimension), jnp.float32)
+        d_params = d_model.init(k_d, patch)
+        g_params = g_model.init(k_g, z)
+        dnn_params = dnn_model.init(k_dnn, patch)
+        models = ModelBundle(d_apply=d_model.apply, g_apply=g_model.apply,
+                             dnn_apply=dnn_model.apply)
+        return models, d_params, g_params, dnn_params
+
+    # --------------------------------------------------------------- loss
+    def labeled_loss_fn(self):
+        """Two-head joint loss (reference: crowd joint density+count losses
+        [H]; exact count-map target is provisional, see JointCNN docs).
+
+        predictions: (density_map [B,h,w], count_map [B,h,w]) at 1/4 res;
+        labels: full-resolution density patches [B, P, P].
+        """
+        settings = self.settings
+
+        def loss_fn(predictions, labels):
+            density_map, count_map = predictions
+            target = sum_pool(labels, DENSITY_DOWNSAMPLE)
+            density_loss = jnp.mean(jnp.square(density_map - target))
+            true_count = jnp.sum(target, axis=(1, 2))
+            pred_count = jnp.sum(count_map, axis=(1, 2))
+            count_loss = jnp.mean(jnp.square(pred_count - true_count))
+            return (density_loss * settings.density_loss_multiplier
+                    + count_loss * settings.count_loss_multiplier)
+
+        return loss_fn
+
+    # ------------------------------------------------------ batch pipeline
+    def prepare_train_step(self) -> None:
+        super().prepare_train_step()
+        self._upload_databases()
+        p = self.settings.image_patch_size
+
+        @jax.jit
+        def sample_batch(labeled_images, labeled_density, unlabeled_images,
+                         idx, offs, flips, uidx, uoffs, uflips):
+            patches = extract_patches(
+                labeled_images, offs, flips, patch_size=p,
+                scale=2.0 / 255.0, shift=-1.0, indices=idx)
+            density = extract_patches(
+                labeled_density, offs, flips, patch_size=p,
+                indices=idx)[..., 0]
+            upatches = extract_patches(
+                unlabeled_images, uoffs, uflips, patch_size=p,
+                scale=2.0 / 255.0, shift=-1.0, indices=uidx)
+            return patches, density, upatches
+
+        self._sample_batch = sample_batch
+        self._eval_patches = jax.jit(
+            lambda images, offs, idx:
+            extract_patches(images, offs, jnp.zeros_like(idx),
+                            patch_size=p, scale=2.0 / 255.0, shift=-1.0,
+                            indices=idx))
+
+    def _random_patch_args(self, rng: np.random.Generator, n_images: int,
+                           image_hw: Tuple[int, int], batch: int):
+        h, w = image_hw
+        p = self.settings.image_patch_size
+        idx = rng.integers(0, n_images, batch).astype(np.int32)
+        offs = np.stack([rng.integers(0, h - p + 1, batch),
+                         rng.integers(0, w - p + 1, batch)],
+                        axis=-1).astype(np.int32)
+        flips = rng.integers(0, 2, batch).astype(np.int32)
+        return idx, offs, flips
+
+    def epoch_batch_iterators(self):
+        settings = self.settings
+        rng = np.random.default_rng(settings.seed + 1)
+        data = self._device_data
+        batch = settings.batch_size
+        hw = self.labeled_db.image_size
+        uhw = self.unlabeled_db.image_size
+        steps = self.steps_per_epoch()
+
+        def one_epoch():
+            for _ in range(steps):
+                idx, offs, flips = self._random_patch_args(
+                    rng, len(self.labeled_db), hw, batch)
+                uidx, uoffs, uflips = self._random_patch_args(
+                    rng, len(self.unlabeled_db), uhw, batch)
+                yield self._sample_batch(
+                    data["labeled_images"], data["labeled_density"],
+                    data["unlabeled_images"], idx, offs, flips,
+                    uidx, uoffs, uflips)
+
+        while True:
+            yield one_epoch()
+
+    # ----------------------------------------------------------- evaluation
+    def _grid_offsets(self, image_hw: Tuple[int, int]) -> np.ndarray:
+        """Deterministic patch grid with 50% overlap covering the image
+        (reference test-time sliding grid [H])."""
+        h, w = image_hw
+        p = self.settings.image_patch_size
+        stride = max(1, p // 2)
+        ys = list(range(0, max(h - p, 0) + 1, stride))
+        xs = list(range(0, max(w - p, 0) + 1, stride))
+        if ys[-1] != h - p:
+            ys.append(h - p)
+        if xs[-1] != w - p:
+            xs.append(w - p)
+        return np.array([(y, x) for y in ys for x in xs], np.int32)
+
+    def predict_image_counts(self, use_dnn: bool = False) -> np.ndarray:
+        """Full-image counts for the validation split: grid patches →
+        density maps → overlap-averaged canvas → Σ."""
+        p = self.settings.image_patch_size
+        f = DENSITY_DOWNSAMPLE
+        db = self.validation_db
+        h, w = db.image_size
+        offsets = self._grid_offsets((h, w))
+        g = len(offsets)
+        params = (self.state.dnn_params if use_dnn else self.state.d_params)
+        apply_fn = (self.models.dnn_apply if use_dnn
+                    else self.models.d_apply)
+        predict = jax.jit(lambda pr, x: apply_fn(pr, x)[0])
+        counts = np.zeros(len(db), np.float32)
+        images = self._device_data["validation_images"]
+        for i in range(len(db)):
+            idx = np.full(g, i, np.int32)
+            patches = self._eval_patches(images, offsets, idx)
+            density_maps, _ = predict(params, patches)
+            density_maps = np.asarray(jax.device_get(density_maps))
+            canvas = np.zeros((h // f, w // f), np.float32)
+            weight = np.zeros((h // f, w // f), np.float32)
+            for (oy, ox), dm in zip(offsets, density_maps):
+                sy, sx = oy // f, ox // f
+                canvas[sy:sy + p // f, sx:sx + p // f] += dm
+                weight[sy:sy + p // f, sx:sx + p // f] += 1.0
+            counts[i] = float((canvas / np.maximum(weight, 1.0)).sum())
+        return counts
+
+    def validation_summaries(self, epoch: int, step: int) -> None:
+        true_counts = self.validation_db.head_counts
+        for use_dnn, writer in ((False, self.gan_summary_writer),
+                                (True, self.dnn_summary_writer)):
+            pred = self.predict_image_counts(use_dnn=use_dnn)
+            writer.add_scalar("validation/MAE",
+                              float(metrics.mae(pred, true_counts)), step)
+            writer.add_scalar("validation/RMSE",
+                              float(metrics.rmse(pred, true_counts)), step)
+            writer.add_scalar("validation/NVE",
+                              float(metrics.nve(pred, true_counts)), step)
+            writer.add_scalar("validation/NAE",
+                              float(metrics.count_nae(pred, true_counts)),
+                              step)
+
+    def evaluate(self, dataset=None, use_dnn: bool = False
+                 ) -> Dict[str, float]:
+        pred = self.predict_image_counts(use_dnn=use_dnn)
+        true_counts = self.validation_db.head_counts
+        return {"MAE": float(metrics.mae(pred, true_counts)),
+                "RMSE": float(metrics.rmse(pred, true_counts)),
+                "NVE": float(metrics.nve(pred, true_counts)),
+                "NAE": float(metrics.count_nae(pred, true_counts))}

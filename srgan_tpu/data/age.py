@@ -1,0 +1,133 @@
+"""IMDB-WIKI age-estimation data.
+
+Reference: age/data.py (AgeDataset + preprocessing script) [H] — parse the
+IMDB-WIKI ``.mat`` metadata (DOB vs photo-taken year → age label), filter
+by face score, resize/crop, normalize (SURVEY.md §2 6b).
+
+Offline preprocessing produces fixed-size arrays (``.npz``); training then
+streams static-shape batches. A procedural synthetic generator keeps
+tests/bench hermetic (the real dataset is not on this machine).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from srgan_tpu.data.core import ArrayDataset
+
+MATLAB_EPOCH_ORDINAL = 366  # Matlab datenum 1 == Jan 1 year 0
+
+
+def matlab_datenum_to_year(datenum: np.ndarray) -> np.ndarray:
+    """Matlab serial date → fractional year (vectorized, no datetime
+    object per row — the metadata has ~500k entries)."""
+    return 1 + (np.asarray(datenum, np.float64)
+                - MATLAB_EPOCH_ORDINAL) / 365.2425
+
+
+def parse_imdb_wiki_metadata(mat_path: str, database: str = "wiki",
+                             minimum_face_score: float = 1.0
+                             ) -> Tuple[np.ndarray, np.ndarray]:
+    """Return (relative image paths, float ages) after quality filtering.
+
+    Filters follow the reference preprocessing [H]: require a detected face
+    (``face_score`` above threshold), no second face, and a sane age range.
+    """
+    from scipy.io import loadmat
+
+    meta = loadmat(mat_path)[database][0, 0]
+    dob = meta["dob"].reshape(-1)
+    photo_taken = meta["photo_taken"].reshape(-1).astype(np.float64)
+    full_path = np.array([p[0] for p in meta["full_path"].reshape(-1)])
+    face_score = meta["face_score"].reshape(-1)
+    second_face = meta["second_face_score"].reshape(-1)
+
+    age = photo_taken + 0.5 - matlab_datenum_to_year(dob)
+    keep = (np.isfinite(face_score)
+            & (face_score > minimum_face_score)
+            & ~np.isfinite(second_face)
+            & (age >= 0) & (age <= 100))
+    return full_path[keep], age[keep].astype(np.float32)
+
+
+def preprocess_imdb_wiki(root_directory: str, mat_path: str,
+                         database: str = "wiki", image_size: int = 64,
+                         limit: Optional[int] = None,
+                         output_path: Optional[str] = None
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """Crop/resize the filtered images to ``image_size`` and pack arrays."""
+    from PIL import Image
+
+    paths, ages = parse_imdb_wiki_metadata(mat_path, database)
+    if limit:
+        paths, ages = paths[:limit], ages[:limit]
+    images = np.zeros((len(paths), image_size, image_size, 3), np.uint8)
+    valid = np.zeros(len(paths), bool)
+    for i, rel in enumerate(paths):
+        path = os.path.join(root_directory, rel)
+        if not os.path.exists(path):
+            continue
+        with Image.open(path) as img:
+            images[i] = np.asarray(
+                img.convert("RGB").resize((image_size, image_size),
+                                          Image.BILINEAR), np.uint8)
+        valid[i] = True
+    images, ages = images[valid], ages[valid]
+    if output_path:
+        os.makedirs(os.path.dirname(os.path.abspath(output_path)),
+                    exist_ok=True)
+        np.savez_compressed(output_path, images=images, ages=ages)
+    return images, ages
+
+
+def synthetic_age_examples(count: int, image_size: int = 64, seed: int = 0
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+    """Procedural 'faces' whose pixel statistics encode age: an elliptical
+    blob whose radius and contrast vary monotonically with age, plus
+    noise — a learnable stand-in for hermetic tests/benchmarks."""
+    rng = np.random.default_rng(seed)
+    ages = rng.uniform(0.0, 100.0, count).astype(np.float32)
+    yy, xx = np.mgrid[0:image_size, 0:image_size].astype(np.float32)
+    cy = cx = (image_size - 1) / 2.0
+    images = np.zeros((count, image_size, image_size, 3), np.float32)
+    for i, age in enumerate(ages):
+        radius = image_size * (0.15 + 0.002 * age)
+        blob = np.exp(-(((yy - cy) ** 2 + (xx - cx) ** 2)
+                        / (2.0 * radius ** 2)))
+        base = 60.0 + 1.2 * age
+        img = base * blob[..., None] + rng.normal(0, 6.0,
+                                                  (image_size, image_size,
+                                                   3))
+        images[i] = np.clip(img, 0, 255)
+    # [-1, 1] normalization (reference image convention)
+    images = images / 127.5 - 1.0
+    return images.astype(np.float32), ages
+
+
+def age_datasets(settings) -> Tuple[ArrayDataset, ArrayDataset,
+                                    ArrayDataset]:
+    """(labeled, unlabeled, validation) splits, from a preprocessed ``.npz``
+    at ``settings.age_database_path`` or the synthetic generator."""
+    path = settings.age_database_path
+    size = settings.age_image_size
+    if path:
+        data = np.load(path)
+        images = data["images"].astype(np.float32) / 127.5 - 1.0
+        ages = data["ages"].astype(np.float32)
+        n_lab = settings.labeled_dataset_size
+        n_unl = settings.unlabeled_dataset_size
+        n_val = settings.validation_dataset_size
+        return (ArrayDataset(images[:n_lab], ages[:n_lab]),
+                ArrayDataset(images[n_lab:n_lab + n_unl]),
+                ArrayDataset(images[n_lab + n_unl:n_lab + n_unl + n_val],
+                             ages[n_lab + n_unl:n_lab + n_unl + n_val]))
+    lab = synthetic_age_examples(settings.labeled_dataset_size, size,
+                                 settings.seed)
+    unl = synthetic_age_examples(settings.unlabeled_dataset_size, size,
+                                 settings.seed + 1)
+    val = synthetic_age_examples(settings.validation_dataset_size, size,
+                                 settings.seed + 2)
+    return (ArrayDataset(*lab), ArrayDataset(unl[0]), ArrayDataset(*val))

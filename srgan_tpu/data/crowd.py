@@ -1,0 +1,239 @@
+"""Crowd-counting data: offline preprocessing + on-device patch sampling.
+
+Reference: crowd/database_preprocessor.py (DatabasePreprocessor + per-DB
+subclasses), crowd/label_generation.py (generate_density_label),
+crowd/data.py (CrowdExample records, patch/flip/normalize transforms,
+test-time patch grid) [A][H]; SURVEY.md §3.3.
+
+Split of responsibilities (TPU-first):
+* OFFLINE (host, once per database): unpack annotations (.mat head
+  positions), resize images to the framework's fixed training resolution,
+  scale head coordinates, store one ``.npz`` per split. Fixed resolution →
+  static shapes → one XLA compilation.
+* ONLINE (device, per step): the split's image + density arrays live in
+  HBM; random patch selection, flip and normalization run through the
+  Pallas input kernel (srgan_tpu/ops/patches.py) — nothing but small index
+  arrays crosses the host↔device boundary per step. This replaces the
+  reference's per-sample NumPy/PIL DataLoader workers, its documented
+  input bottleneck (SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from srgan_tpu.ops.density import density_maps_reference
+
+
+# --------------------------------------------------------------------------
+# Label generation (reference: crowd/label_generation.py [A][H]).
+# --------------------------------------------------------------------------
+
+def generate_density_label(head_positions: np.ndarray, height: int,
+                           width: int, sigma: float = 8.0) -> np.ndarray:
+    """Render one Gaussian density map on the host (offline path).
+
+    Each head contributes a unit-mass Gaussian; Σ map == head count.
+    """
+    heads = np.asarray(head_positions, np.float32).reshape(1, -1, 2)
+    counts = np.array([heads.shape[1]], np.int32)
+    return density_maps_reference(heads, counts, sigma, height, width)[0]
+
+
+# --------------------------------------------------------------------------
+# Database container.
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class CrowdDatabase:
+    """One split of a preprocessed crowd database (fixed-size arrays).
+
+    images:         [N, H, W, 3] uint8 (raw pixels; normalization happens
+                    in the Pallas kernel / XLA graph)
+    density_maps:   [N, H, W] float32, Σ per map == head count
+    head_counts:    [N] float32 total heads per image
+    """
+    images: np.ndarray
+    density_maps: np.ndarray
+    head_counts: np.ndarray
+
+    def __post_init__(self):
+        assert self.images.ndim == 4 and self.images.shape[3] == 3
+        assert self.density_maps.shape == self.images.shape[:3]
+        assert len(self.head_counts) == len(self.images)
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    @property
+    def image_size(self) -> Tuple[int, int]:
+        return self.images.shape[1], self.images.shape[2]
+
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        np.savez_compressed(path, images=self.images,
+                            density_maps=self.density_maps,
+                            head_counts=self.head_counts)
+
+    @classmethod
+    def load(cls, path: str) -> "CrowdDatabase":
+        data = np.load(path)
+        return cls(images=data["images"],
+                   density_maps=data["density_maps"],
+                   head_counts=data["head_counts"])
+
+
+# --------------------------------------------------------------------------
+# Offline preprocessors (reference: crowd/database_preprocessor.py [A][H]).
+# --------------------------------------------------------------------------
+
+class DatabasePreprocessor:
+    """Raw database directory → fixed-resolution :class:`CrowdDatabase`.
+
+    Subclasses implement :meth:`example_paths` (image/annotation pairs) and
+    :meth:`load_head_positions`. `preprocess` resizes every image to
+    (height, width), scales head coordinates accordingly, renders density
+    maps, and returns the packed arrays.
+    """
+
+    database_name = "base"
+
+    def __init__(self, height: int = 384, width: int = 512,
+                 sigma: float = 8.0):
+        self.height = height
+        self.width = width
+        self.sigma = sigma
+
+    # -------------------------------------------------- subclass interface
+    def example_paths(self, raw_directory: str):
+        """Yield (image_path, annotation_path) pairs."""
+        raise NotImplementedError
+
+    def load_head_positions(self, annotation_path: str) -> np.ndarray:
+        """Return [M, 2] float32 (x, y) head positions in raw-image pixels."""
+        raise NotImplementedError
+
+    # ---------------------------------------------------------- pipeline
+    def preprocess(self, raw_directory: str,
+                   output_path: Optional[str] = None) -> CrowdDatabase:
+        from PIL import Image
+
+        images, densities, counts = [], [], []
+        for image_path, ann_path in self.example_paths(raw_directory):
+            with Image.open(image_path) as img:
+                img = img.convert("RGB")
+                raw_w, raw_h = img.size
+                resized = np.asarray(
+                    img.resize((self.width, self.height), Image.BILINEAR),
+                    np.uint8)
+            heads_xy = self.load_head_positions(ann_path)
+            # raw (x, y) → resized (y, x)
+            scale_x = self.width / raw_w
+            scale_y = self.height / raw_h
+            heads_yx = np.stack([heads_xy[:, 1] * scale_y,
+                                 heads_xy[:, 0] * scale_x], axis=-1) \
+                if len(heads_xy) else np.zeros((0, 2), np.float32)
+            density = generate_density_label(heads_yx, self.height,
+                                             self.width, self.sigma)
+            images.append(resized)
+            densities.append(density)
+            counts.append(float(len(heads_yx)))
+        database = CrowdDatabase(
+            images=np.stack(images) if images else
+            np.zeros((0, self.height, self.width, 3), np.uint8),
+            density_maps=np.stack(densities).astype(np.float32) if densities
+            else np.zeros((0, self.height, self.width), np.float32),
+            head_counts=np.asarray(counts, np.float32))
+        if output_path:
+            database.save(output_path)
+        return database
+
+
+class UcfQnrfPreprocessor(DatabasePreprocessor):
+    """UCF-QNRF layout: ``img_0001.jpg`` + ``img_0001_ann.mat`` with key
+    ``annPoints`` [M, 2] (x, y). Reference: crowd/database_preprocessor.py
+    UCF-QNRF subclass [H]."""
+
+    database_name = "ucf_qnrf"
+
+    def example_paths(self, raw_directory: str):
+        for image_path in sorted(glob.glob(
+                os.path.join(raw_directory, "**", "img_*.jpg"),
+                recursive=True)):
+            ann = image_path[:-len(".jpg")] + "_ann.mat"
+            if os.path.exists(ann):
+                yield image_path, ann
+
+    def load_head_positions(self, annotation_path: str) -> np.ndarray:
+        from scipy.io import loadmat
+        points = loadmat(annotation_path)["annPoints"]
+        return np.asarray(points, np.float32).reshape(-1, 2)
+
+
+class ShanghaiTechPreprocessor(DatabasePreprocessor):
+    """ShanghaiTech layout: ``images/IMG_i.jpg`` + ``ground-truth/
+    GT_IMG_i.mat`` with ``image_info[0,0]['location'][0,0]`` [M, 2] (x, y).
+    Reference: crowd/database_preprocessor.py ShanghaiTech subclass [H]."""
+
+    database_name = "shanghai_tech"
+
+    def example_paths(self, raw_directory: str):
+        for image_path in sorted(glob.glob(
+                os.path.join(raw_directory, "**", "IMG_*.jpg"),
+                recursive=True)):
+            name = os.path.splitext(os.path.basename(image_path))[0]
+            gt_dir = os.path.join(os.path.dirname(os.path.dirname(
+                image_path)), "ground-truth")
+            ann = os.path.join(gt_dir, f"GT_{name}.mat")
+            if os.path.exists(ann):
+                yield image_path, ann
+
+    def load_head_positions(self, annotation_path: str) -> np.ndarray:
+        from scipy.io import loadmat
+        info = loadmat(annotation_path)["image_info"]
+        points = info[0, 0][0, 0][0]
+        return np.asarray(points, np.float32).reshape(-1, 2)
+
+
+PREPROCESSORS: Dict[str, type] = {
+    UcfQnrfPreprocessor.database_name: UcfQnrfPreprocessor,
+    ShanghaiTechPreprocessor.database_name: ShanghaiTechPreprocessor,
+}
+
+
+# --------------------------------------------------------------------------
+# Synthetic database (hermetic tests / benchmarking without the real data).
+# --------------------------------------------------------------------------
+
+def synthetic_crowd_database(count: int, height: int = 96, width: int = 128,
+                             max_heads: int = 64, sigma: float = 4.0,
+                             seed: int = 0) -> CrowdDatabase:
+    """Procedural crowd-like data with real signal: each head renders a
+    bright blob into the image, so density/count are learnable from pixels.
+    Used by tests and the bench harness (no real UCF-QNRF on this machine).
+    """
+    rng = np.random.default_rng(seed)
+    images = np.zeros((count, height, width, 3), np.float32)
+    densities = np.zeros((count, height, width), np.float32)
+    counts = np.zeros((count,), np.float32)
+    yy, xx = np.mgrid[0:height, 0:width].astype(np.float32)
+    for i in range(count):
+        n = int(rng.integers(0, max_heads + 1))
+        heads = np.stack([rng.uniform(0, height, n),
+                          rng.uniform(0, width, n)], axis=-1)
+        blob = np.zeros((height, width), np.float32)
+        for hy, hx in heads:
+            blob += np.exp(-((yy - hy) ** 2 + (xx - hx) ** 2)
+                           / (2.0 * (2.5 * sigma) ** 2))
+        img = 40.0 + 180.0 * blob / max(blob.max(), 1e-6)
+        noise = rng.normal(0, 8.0, (height, width, 3))
+        images[i] = np.clip(img[..., None] + noise, 0, 255)
+        densities[i] = generate_density_label(heads, height, width, sigma)
+        counts[i] = float(n)
+    return CrowdDatabase(images=images.astype(np.uint8),
+                         density_maps=densities, head_counts=counts)

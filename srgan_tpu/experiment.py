@@ -87,12 +87,22 @@ class Experiment:
         self.mesh = pmesh.make_mesh(self.settings.data_parallel_devices)
 
     def prepare_train_step(self) -> None:
-        step_fn = make_gan_train_step(
-            self.settings, self.models,
-            labeled_loss_fn=self.labeled_loss_fn(),
-            latent_shape=self.latent_shape())
-        self._train_step = pmesh.jit_data_parallel(
-            step_fn, self.mesh, num_batch_args=3)
+        if self.settings.dnn_only:
+            # Supervised-baseline-only config (e.g. "age DNN", SURVEY §2
+            # component 8): no G/D updates, labeled stream only.
+            from srgan_tpu.train import make_dnn_train_step
+            step_fn = make_dnn_train_step(
+                self.settings, self.models,
+                labeled_loss_fn=self.labeled_loss_fn())
+            self._train_step = pmesh.jit_data_parallel(
+                step_fn, self.mesh, num_batch_args=2, has_key=False)
+        else:
+            step_fn = make_gan_train_step(
+                self.settings, self.models,
+                labeled_loss_fn=self.labeled_loss_fn(),
+                latent_shape=self.latent_shape())
+            self._train_step = pmesh.jit_data_parallel(
+                step_fn, self.mesh, num_batch_args=3)
         repl = pmesh.replicated_sharding(self.mesh)
         batch = pmesh.batch_sharding(self.mesh)
         self._eval_d = jax.jit(
@@ -137,31 +147,26 @@ class Experiment:
         """Epochs over the labeled loader zipped with a cycling unlabeled
         loader; GAN + DNN updates fused in one jitted step (SURVEY.md §3.2)."""
         settings = self.settings
-        data_rng = np.random.default_rng(settings.seed + 1)
-        unlabeled_rng = np.random.default_rng(settings.seed + 2)
         keys = KeySequence(settings.seed, "train")
-        batch_sharding = pmesh.batch_sharding(self.mesh)
-        unlabeled_iter = cycling_batches(
-            self.unlabeled_dataset, settings.batch_size, unlabeled_rng)
 
         step = int(jax.device_get(self.state.step))
-        steps_per_epoch = max(
-            1, len(self.labeled_dataset) // settings.batch_size)
+        steps_per_epoch = self.steps_per_epoch()
         if settings.epochs_to_run is not None:
             total_steps = settings.epochs_to_run * steps_per_epoch
         else:
             total_steps = settings.steps_to_run
 
         epoch = step // steps_per_epoch
+        epochs = self.epoch_batch_iterators()
         while step < total_steps:
-            batches = (
-                (lab + (next(unlabeled_iter)[0],))
-                for lab in epoch_batches(self.labeled_dataset,
-                                         settings.batch_size, data_rng))
-            for labeled_x, labels, unlabeled_x in prefetch_to_device(
-                    batches, batch_sharding):
-                self.state, step_metrics = self._train_step(
-                    self.state, labeled_x, labels, unlabeled_x, keys.next())
+            for labeled_x, labels, unlabeled_x in next(epochs):
+                if settings.dnn_only:
+                    self.state, step_metrics = self._train_step(
+                        self.state, labeled_x, labels)
+                else:
+                    self.state, step_metrics = self._train_step(
+                        self.state, labeled_x, labels, unlabeled_x,
+                        keys.next())
                 self.gan_summary_writer.step = step
                 self.dnn_summary_writer.step = step
                 if self.gan_summary_writer.is_summary_step():
@@ -175,6 +180,31 @@ class Experiment:
                     break
             epoch += 1
             self.validation_summaries(epoch=epoch, step=step)
+
+    def steps_per_epoch(self) -> int:
+        return max(1, len(self.labeled_dataset) // self.settings.batch_size)
+
+    def epoch_batch_iterators(self):
+        """Endless generator of per-epoch batch iterators, each yielding
+        device-ready ``(labeled_x, labels, unlabeled_x)`` triples.
+
+        Default: host-side shuffled epochs over the labeled ArrayDataset
+        zipped with a cycling unlabeled loader, double-buffer-prefetched to
+        the mesh (SURVEY.md §3.2). Apps with on-device augmentation (crowd)
+        override this.
+        """
+        settings = self.settings
+        data_rng = np.random.default_rng(settings.seed + 1)
+        unlabeled_rng = np.random.default_rng(settings.seed + 2)
+        sharding = pmesh.batch_sharding(self.mesh)
+        unlabeled_iter = cycling_batches(
+            self.unlabeled_dataset, settings.batch_size, unlabeled_rng)
+        while True:
+            batches = (
+                (lab + (next(unlabeled_iter)[0],))
+                for lab in epoch_batches(self.labeled_dataset,
+                                         settings.batch_size, data_rng))
+            yield prefetch_to_device(batches, sharding)
 
     def write_step_summaries(self, step_metrics: Dict[str, Any]) -> None:
         host = {k: float(jax.device_get(v))

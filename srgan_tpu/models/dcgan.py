@@ -62,6 +62,12 @@ class DCGANGenerator(nn.Module):
                 x = nn.GroupNorm(num_groups=min(32, out_width),
                                  dtype=self.dtype)(x)
                 x = nn.relu(x)
+        # Deconv doubling reaches the next power-of-two×4; center-crop to
+        # non-power-of-two targets (e.g. 224-px crowd patches).
+        if size != self.image_size:
+            margin = (size - self.image_size) // 2
+            x = x[:, margin:margin + self.image_size,
+                  margin:margin + self.image_size, :]
         return jnp.tanh(x).astype(jnp.float32)
 
 

@@ -74,6 +74,8 @@ def density_maps(head_positions: jax.Array, head_counts: jax.Array,
 
     Returns: [B, H, W] float32 density maps with Σ map ≈ head count.
     """
+    # CPU backends (tests, virtual-device dry runs) use the interpreter.
+    interpret = interpret or jax.default_backend() == "cpu"
     b, n, _ = head_positions.shape
     sigma_arr = jnp.full((1, 1), sigma, jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(

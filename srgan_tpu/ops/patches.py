@@ -51,18 +51,21 @@ def _rows_kernel(offsets_ref, images_ref, scale_ref, shift_ref,
     the window stays in bounds — and the XLA tail slices off the ≤8-row
     remainder along with the x-window.
 
-    offsets_ref: SMEM scalar-prefetch [B, 2] int32 (aligned_oy, ox)
-    images_ref:  HBM [B, H, W*C]
+    offsets_ref: SMEM scalar-prefetch [B, 3] int32 (src_idx, aligned_oy, ox)
+    images_ref:  HBM [N, H, W*C] — the whole dataset may live here; src_idx
+                 gathers the example, so random patch sampling never copies
+                 a full image out of HBM
     scale_ref/shift_ref: SMEM (1, 1) float32 — out = x * scale + shift
     out_ref:     VMEM [1, P + 8, W*C]
     scratch_ref: VMEM [P + 8, W*C]
     """
     i = pl.program_id(0)
     rows = out_ref.shape[1]
+    src = offsets_ref[i, 0]
     # The wrapper guarantees 8-alignment; Mosaic needs the hint to prove it.
-    base = pl.multiple_of(offsets_ref[i, 0], _SUBLANE)
+    base = pl.multiple_of(offsets_ref[i, 1], _SUBLANE)
     dma = pltpu.make_async_copy(
-        images_ref.at[i, pl.ds(base, rows), :], scratch_ref, sem_ref)
+        images_ref.at[src, pl.ds(base, rows), :], scratch_ref, sem_ref)
     dma.start()
     dma.wait()
     out_ref[0] = (scratch_ref[:].astype(jnp.float32) * scale_ref[0, 0]
@@ -74,20 +77,29 @@ def _rows_kernel(offsets_ref, images_ref, scale_ref, shift_ref,
 def extract_patches(images: jax.Array, offsets: jax.Array,
                     flips: jax.Array, *, patch_size: int,
                     scale: float = 1.0, shift: float = 0.0,
+                    indices: jax.Array | None = None,
                     interpret: bool = False) -> jax.Array:
     """Extract per-example patches with flip + affine normalization.
 
     Args:
-      images:  [B, H, W, C] (any float/int dtype; HBM-resident).
+      images:  [N, H, W, C] (any float/int dtype; HBM-resident). With
+        ``indices`` given this is the WHOLE dataset and the kernel gathers
+        source images per output example (the on-device input queue:
+        sampling never copies a full image out of HBM).
       offsets: [B, 2] int32 top-left (y, x); caller guarantees in-bounds.
       flips:   [B] int32/bool horizontal-flip flags.
       patch_size: static patch side P.
       scale, shift: ``out = x * scale + shift`` (e.g. scale=2/255, shift=-1
         for the reference's [-1, 1] image normalization).
+      indices: optional [B] int32 source-image index per output example;
+        defaults to ``arange(N)`` (B == N).
 
     Returns: [B, P, P, C] float32.
     """
-    b, h, w, c = images.shape
+    # The Mosaic kernel only exists for TPU; on CPU backends (tests,
+    # multi-chip dry runs on virtual devices) fall back to the interpreter.
+    interpret = interpret or jax.default_backend() == "cpu"
+    n, h, w, c = images.shape
     p = patch_size
     rows_out = p + _SUBLANE
     if h < rows_out:
@@ -99,10 +111,14 @@ def extract_patches(images: jax.Array, offsets: jax.Array,
     wc = w * c
     wc_padded = -(-wc // _LANE) * _LANE
     offsets = offsets.astype(jnp.int32)
+    if indices is None:
+        indices = jnp.arange(n, dtype=jnp.int32)
+    indices = indices.astype(jnp.int32)
+    b = indices.shape[0]
     oy, ox = offsets[:, 0], offsets[:, 1]
     aligned_oy = jnp.minimum((oy // _SUBLANE) * _SUBLANE, h - rows_out)
     dy = oy - aligned_oy  # ∈ [0, 8]
-    kernel_offsets = jnp.stack([aligned_oy, ox], axis=1)
+    kernel_offsets = jnp.stack([indices, aligned_oy, ox], axis=1)
     scale_arr = jnp.full((1, 1), scale, jnp.float32)
     shift_arr = jnp.full((1, 1), shift, jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -123,7 +139,7 @@ def extract_patches(images: jax.Array, offsets: jax.Array,
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    flat = images.reshape(b, h, wc)
+    flat = images.reshape(n, h, wc)
     if wc_padded != wc:
         flat = jnp.pad(flat, ((0, 0), (0, 0), (0, wc_padded - wc)))
     rows = pl.pallas_call(
@@ -147,15 +163,19 @@ def extract_patches(images: jax.Array, offsets: jax.Array,
 
 def extract_patches_reference(images: np.ndarray, offsets: np.ndarray,
                               flips: np.ndarray, patch_size: int,
-                              scale: float = 1.0, shift: float = 0.0
+                              scale: float = 1.0, shift: float = 0.0,
+                              indices: np.ndarray | None = None
                               ) -> np.ndarray:
     """NumPy golden model for the kernel tests (SURVEY.md §4)."""
-    b = images.shape[0]
+    if indices is None:
+        indices = np.arange(images.shape[0])
+    b = len(indices)
     p = patch_size
     out = np.empty((b, p, p, images.shape[3]), np.float32)
     for i in range(b):
         oy, ox = int(offsets[i, 0]), int(offsets[i, 1])
-        patch = images[i, oy:oy + p, ox:ox + p].astype(np.float32)
+        patch = images[int(indices[i]),
+                       oy:oy + p, ox:ox + p].astype(np.float32)
         if flips[i]:
             patch = patch[:, ::-1]
         out[i] = patch * scale + shift

@@ -60,17 +60,21 @@ def shard_batch(mesh: Mesh, *arrays: Any, axis_name: str = DATA_AXIS):
 def jit_data_parallel(step_fn: Callable, mesh: Mesh,
                       num_batch_args: int = 3,
                       donate_state: bool = True,
+                      has_key: bool = True,
                       axis_name: str = DATA_AXIS) -> Callable:
-    """jit a ``step(state, *batch_arrays, key)`` data-parallel over ``mesh``.
+    """jit a ``step(state, *batch_arrays[, key])`` data-parallel over
+    ``mesh``.
 
-    State (arg 0) and the PRNG key (last arg) are replicated; the
-    ``num_batch_args`` arrays in between are sharded on axis 0. The state is
-    donated so parameter/optimizer buffers update in place in HBM — no
-    per-step reallocation (SURVEY.md §7 layer 6, donated buffers).
+    State (arg 0) and the PRNG key (last arg, if ``has_key``) are
+    replicated; the ``num_batch_args`` arrays in between are sharded on
+    axis 0. The state is donated so parameter/optimizer buffers update in
+    place in HBM — no per-step reallocation (SURVEY.md §7 layer 6, donated
+    buffers).
     """
     repl = replicated_sharding(mesh)
     batch = batch_sharding(mesh, axis_name)
-    in_shardings = (repl,) + (batch,) * num_batch_args + (repl,)
+    in_shardings = ((repl,) + (batch,) * num_batch_args
+                    + ((repl,) if has_key else ()))
     out_shardings = (repl, repl)
     return jax.jit(step_fn, in_shardings=in_shardings,
                    out_shardings=out_shardings,

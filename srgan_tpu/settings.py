@@ -27,6 +27,10 @@ class Settings:
     load_model_path: Optional[str] = None
     seed: int = 0
 
+    # DNN-baseline-only config (e.g. the reference's "age DNN" trial):
+    # trains only the supervised regressor, no adversarial losses.
+    dnn_only: bool = False
+
     # ------------------------------------------------------------- schedule
     batch_size: int = 32
     steps_to_run: int = 1000
@@ -55,7 +59,8 @@ class Settings:
 
     # ---------------------------------------------------------------- model
     latent_dimension: int = 10
-    hidden_size: int = 10
+    hidden_size: int = 10      # MLP apps
+    model_base_width: int = 64  # conv apps (JointCNN / DCGAN widths)
 
     # ---------------------------------------------------------------- losses
     # Loss-stream multipliers (reference names per SURVEY §2 component 2):
@@ -84,14 +89,24 @@ class Settings:
 
     # ------------------------------------------------------------- app extras
     # Crowd:
-    crowd_database: str = "ucf_qnrf"
+    crowd_database: str = "ucf_qnrf"   # preprocessor to use for raw data
+    crowd_database_path: Optional[str] = None  # dir of {split}.npz; None → synthetic
     image_patch_size: int = 224
     label_patch_size: int = 224
     map_directory_name: str = "density_maps"
+    crowd_image_height: int = 384
+    crowd_image_width: int = 512
+    crowd_sigma: float = 8.0
+    density_loss_multiplier: float = 1e0
+    count_loss_multiplier: float = 1e0
+    # synthetic fallback database (tests/bench without real UCF-QNRF):
+    crowd_synthetic_max_heads: int = 64
     # Age:
     age_image_size: int = 64
+    age_database_path: Optional[str] = None  # preprocessed .npz; None → synthetic
     # Driving:
     driving_frame_stack: int = 1
+    driving_database_path: Optional[str] = None  # .npz; None → synthetic
 
     def copy(self, **overrides) -> "Settings":
         return dataclasses.replace(self, **overrides)

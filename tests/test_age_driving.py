@@ -1,0 +1,139 @@
+"""Age + driving app tests: metadata parsing (synthetic .mat/.csv
+fixtures), synthetic data signal, short end-to-end trials, DNN-only mode."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+from scipy.io import savemat
+
+from srgan_tpu.data.age import (matlab_datenum_to_year,
+                                parse_imdb_wiki_metadata,
+                                synthetic_age_examples)
+from srgan_tpu.data.driving import (load_driving_recording,
+                                    synthetic_driving_examples)
+from srgan_tpu.settings import Settings
+
+
+class TestAgeMetadata:
+    def test_matlab_datenum_year(self):
+        # Matlab datenum for 2000-01-01 is 730486
+        year = matlab_datenum_to_year(np.array([730486.0]))
+        assert abs(year[0] - 2000.0) < 0.01
+
+    def test_parse_and_filter(self, tmp_path):
+        """Synthesize a wiki.mat: keeps good faces, drops bad scores /
+        second faces / bad ages."""
+        n = 4
+        dob = np.array([[693962.0, 693962.0, 693962.0, 730486.0]])  # 1900×3, 2000
+        photo_taken = np.array([[1950, 1950, 1950, 1990]])
+        full_path = np.empty((1, n), object)
+        for i in range(n):
+            full_path[0, i] = np.array([f"00/img_{i}.jpg"])
+        face_score = np.array([[2.0, -np.inf, 3.0, 2.5]])
+        second_face = np.array([[np.nan, np.nan, 4.0, np.nan]])
+        wiki = np.zeros((1, 1), dtype=[
+            ("dob", object), ("photo_taken", object), ("full_path", object),
+            ("face_score", object), ("second_face_score", object)])
+        wiki[0, 0] = (dob, photo_taken, full_path, face_score, second_face)
+        savemat(tmp_path / "wiki.mat", {"wiki": wiki})
+
+        paths, ages = parse_imdb_wiki_metadata(str(tmp_path / "wiki.mat"))
+        # idx0: good (age ~50); idx1: bad face score; idx2: second face;
+        # idx3: photo (1990) before dob (2000) → negative age → dropped
+        assert list(paths) == ["00/img_0.jpg"]
+        assert abs(ages[0] - 50.5) < 1.0
+
+    def test_synthetic_age_signal(self):
+        images, ages = synthetic_age_examples(64, image_size=32, seed=0)
+        assert images.shape == (64, 32, 32, 3)
+        assert images.min() >= -1.0 and images.max() <= 1.0
+        # brightness correlates with age (learnable signal)
+        brightness = images.mean(axis=(1, 2, 3))
+        corr = np.corrcoef(brightness, ages)[0, 1]
+        assert corr > 0.5
+
+
+class TestDrivingData:
+    def test_load_recording_csv(self, tmp_path):
+        frames = tmp_path / "frames"
+        frames.mkdir()
+        rng = np.random.default_rng(0)
+        rows = ["frame,angle\n"]
+        for i in range(5):
+            name = f"f{i}.jpg"
+            Image.fromarray(rng.integers(0, 255, (20, 30, 3)).astype(
+                np.uint8)).save(frames / name)
+            rows.append(f"{name},{0.1 * i}\n")
+        csv_path = tmp_path / "steering.csv"
+        csv_path.write_text("".join(rows))
+
+        examples, labels = load_driving_recording(
+            str(frames), str(csv_path), image_size=16, frame_stack=2)
+        assert examples.shape == (4, 16, 16, 6)  # 5 frames, stack 2
+        np.testing.assert_allclose(labels, [0.1, 0.2, 0.3, 0.4], rtol=1e-5)
+        assert examples.min() >= -1.0 and examples.max() <= 1.0
+
+    def test_synthetic_driving_signal(self):
+        examples, angles = synthetic_driving_examples(32, image_size=32,
+                                                      seed=0)
+        assert examples.shape == (32, 32, 32, 3)
+        # lane asymmetry correlates with angle
+        left = examples[:, 16:, :16].mean(axis=(1, 2, 3))
+        right = examples[:, 16:, 16:].mean(axis=(1, 2, 3))
+        corr = np.corrcoef(right - left, angles)[0, 1]
+        assert corr > 0.5
+
+
+class TestImageApps:
+    def _settings(self, tmp_path, **kw):
+        base = dict(trial_name="imgtest",
+                    logs_directory=str(tmp_path / "logs"),
+                    batch_size=8, steps_to_run=3, summary_step_period=2,
+                    labeled_dataset_size=16, unlabeled_dataset_size=16,
+                    validation_dataset_size=8,
+                    age_image_size=32, model_base_width=8,
+                    latent_dimension=16, learning_rate=1e-3, seed=0)
+        base.update(kw)
+        return Settings(**base)
+
+    def test_age_srgan_end_to_end(self, tmp_path):
+        import jax
+        from srgan_tpu.apps.age import AgeExperiment
+
+        exp = AgeExperiment(self._settings(tmp_path))
+        state = exp.train()
+        assert int(jax.device_get(state.step)) == 3
+        result = exp.evaluate()
+        assert np.isfinite(result["MAE"])
+        # generated-sample images logged
+        gan_scalars = os.path.join(exp.trial_directory, "GAN",
+                                   "scalars.jsonl")
+        assert os.path.exists(gan_scalars)
+
+    def test_age_dnn_only(self, tmp_path):
+        import jax
+        from srgan_tpu.apps.age import AgeExperiment
+
+        exp = AgeExperiment(self._settings(tmp_path, dnn_only=True))
+        state = exp.train()
+        assert int(jax.device_get(state.step)) == 3
+        # D and G untouched in dnn_only mode
+        _, d0, g0, _ = exp.model_setup()
+        for a, b in zip(jax.tree.leaves(d0),
+                        jax.tree.leaves(state.d_params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        result = exp.evaluate(use_dnn=True)
+        assert np.isfinite(result["MAE"])
+
+    def test_driving_end_to_end(self, tmp_path):
+        import jax
+        from srgan_tpu.apps.driving import DrivingExperiment
+
+        exp = DrivingExperiment(self._settings(tmp_path,
+                                               driving_frame_stack=2))
+        state = exp.train()
+        assert int(jax.device_get(state.step)) == 3
+        result = exp.evaluate()
+        assert np.isfinite(result["MAE"])

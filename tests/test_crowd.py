@@ -1,0 +1,144 @@
+"""Crowd pipeline tests: label generation, preprocessors (against
+synthetic .mat fixtures), and the end-to-end CrowdExperiment
+(SURVEY.md §4: density integral, patch bounds, integration smoke)."""
+
+import os
+
+import numpy as np
+import pytest
+from scipy.io import savemat
+from PIL import Image
+
+from srgan_tpu.data.crowd import (CrowdDatabase, ShanghaiTechPreprocessor,
+                                  UcfQnrfPreprocessor,
+                                  generate_density_label,
+                                  synthetic_crowd_database)
+from srgan_tpu.settings import Settings
+
+
+class TestLabelGeneration:
+    def test_density_integral_is_head_count(self):
+        heads = np.array([[10.0, 20.0], [30.0, 40.0], [5.0, 5.0]])
+        density = generate_density_label(heads, 64, 64, sigma=4.0)
+        np.testing.assert_allclose(density.sum(), 3.0, rtol=1e-4)
+
+    def test_empty_heads(self):
+        density = generate_density_label(np.zeros((0, 2)), 32, 32)
+        assert density.shape == (32, 32) and density.sum() == 0.0
+
+
+class TestSyntheticDatabase:
+    def test_shapes_and_mass(self):
+        db = synthetic_crowd_database(4, height=48, width=64, max_heads=10,
+                                      sigma=3.0, seed=0)
+        assert db.images.shape == (4, 48, 64, 3)
+        assert db.images.dtype == np.uint8
+        for i in range(4):
+            np.testing.assert_allclose(db.density_maps[i].sum(),
+                                       db.head_counts[i], rtol=1e-3,
+                                       atol=1e-4)
+
+    def test_save_load_roundtrip(self, tmp_path):
+        db = synthetic_crowd_database(2, height=32, width=32, seed=1)
+        path = str(tmp_path / "db.npz")
+        db.save(path)
+        loaded = CrowdDatabase.load(path)
+        np.testing.assert_array_equal(loaded.images, db.images)
+        np.testing.assert_array_equal(loaded.density_maps, db.density_maps)
+
+
+def _write_image(path, h=40, w=60):
+    rng = np.random.default_rng(0)
+    Image.fromarray(rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+                    ).save(path)
+
+
+class TestPreprocessors:
+    def test_ucf_qnrf_layout(self, tmp_path):
+        """Synthesize the UCF-QNRF on-disk layout (img_*.jpg +
+        *_ann.mat['annPoints']) and check scaling + density mass."""
+        raw = tmp_path / "raw"
+        raw.mkdir()
+        _write_image(raw / "img_0001.jpg", h=40, w=60)
+        points_xy = np.array([[10.0, 20.0], [50.0, 30.0]])  # (x, y) raw px
+        savemat(raw / "img_0001_ann.mat", {"annPoints": points_xy})
+
+        pre = UcfQnrfPreprocessor(height=80, width=120, sigma=3.0)
+        db = pre.preprocess(str(raw))
+        assert db.images.shape == (1, 80, 120, 3)
+        assert db.head_counts[0] == 2.0
+        np.testing.assert_allclose(db.density_maps[0].sum(), 2.0, rtol=1e-3)
+        # heads at raw (x,y)=(10,20),(50,30) → resized (y,x)=(40,20),(60,100)
+        density = db.density_maps[0]
+        background = np.median(density)
+        assert density[40, 20] > background * 10 + 1e-4
+        assert density[60, 100] > background * 10 + 1e-4
+
+    def test_shanghai_tech_layout(self, tmp_path):
+        raw = tmp_path / "part_A" / "train_data"
+        (raw / "images").mkdir(parents=True)
+        (raw / "ground-truth").mkdir()
+        _write_image(raw / "images" / "IMG_1.jpg", h=40, w=60)
+        points = np.array([[30.0, 20.0]])
+        # image_info[0,0]['location'][0,0] == points
+        location = np.empty((1, 1), object)
+        location[0, 0] = points
+        info = np.empty((1, 1), object)
+        info[0, 0] = location
+        savemat(raw / "ground-truth" / "GT_IMG_1.mat", {"image_info": info})
+
+        pre = ShanghaiTechPreprocessor(height=40, width=60, sigma=3.0)
+        db = pre.preprocess(str(raw))
+        assert len(db) == 1
+        assert db.head_counts[0] == 1.0
+        np.testing.assert_allclose(db.density_maps[0].sum(), 1.0, rtol=1e-3)
+
+    def test_empty_directory(self, tmp_path):
+        db = UcfQnrfPreprocessor(height=32, width=32).preprocess(
+            str(tmp_path))
+        assert len(db) == 0
+
+
+class TestCrowdExperiment:
+    def _settings(self, tmp_path, **kw):
+        base = dict(trial_name="crowdtest",
+                    logs_directory=str(tmp_path / "logs"),
+                    batch_size=8, steps_to_run=3, summary_step_period=2,
+                    labeled_dataset_size=6, unlabeled_dataset_size=8,
+                    validation_dataset_size=3,
+                    crowd_image_height=80, crowd_image_width=96,
+                    image_patch_size=32, crowd_sigma=3.0,
+                    crowd_synthetic_max_heads=12,
+                    model_base_width=8, latent_dimension=16,
+                    learning_rate=1e-3, seed=0)
+        base.update(kw)
+        return Settings(**base)
+
+    def test_end_to_end_short_trial(self, tmp_path):
+        from srgan_tpu.apps.crowd import CrowdExperiment
+        import jax
+
+        exp = CrowdExperiment(self._settings(tmp_path))
+        state = exp.train()
+        assert int(jax.device_get(state.step)) == 3
+        result = exp.evaluate()
+        for name in ("MAE", "RMSE", "NVE", "NAE"):
+            assert np.isfinite(result[name]), name
+        # summaries written
+        gan_scalars = os.path.join(exp.trial_directory, "GAN",
+                                   "scalars.jsonl")
+        assert os.path.exists(gan_scalars)
+
+    def test_labeled_loss_two_heads(self):
+        import jax.numpy as jnp
+        from srgan_tpu.apps.crowd import CrowdExperiment, sum_pool
+
+        exp = CrowdExperiment(Settings(image_patch_size=8))
+        loss_fn = exp.labeled_loss_fn()
+        labels = jnp.ones((2, 8, 8)) * 0.25   # 16 mass per 4x4 target cell
+        target = sum_pool(labels, 4)          # [2, 2, 2] of 4.0
+        perfect = (target, target)            # count map summing to 16
+        assert float(loss_fn(perfect, labels)) == pytest.approx(0.0,
+                                                                abs=1e-5)
+        off = (target + 1.0, target)
+        assert float(loss_fn(off, labels)) > 0.0

@@ -99,6 +99,24 @@ class TestExtractPatches:
             jnp.ones(1, jnp.int32), patch_size=8, interpret=True))
         np.testing.assert_allclose(flip, noflip[:, :, ::-1], rtol=1e-6)
 
+    def test_dataset_gather_indices(self):
+        """The input-queue path: B patches sampled by index from an
+        N-image HBM-resident dataset (B != N, repeats allowed)."""
+        images, _, _ = self._data(b=4)
+        rng = np.random.default_rng(3)
+        indices = np.array([2, 0, 2, 3, 1, 2], np.int32)
+        offsets = np.stack([rng.integers(0, 24 - 8 + 1, 6),
+                            rng.integers(0, 40 - 8 + 1, 6)],
+                           axis=-1).astype(np.int32)
+        flips = rng.integers(0, 2, 6).astype(np.int32)
+        got = np.asarray(extract_patches(
+            jnp.asarray(images), jnp.asarray(offsets), jnp.asarray(flips),
+            patch_size=8, indices=jnp.asarray(indices), interpret=True))
+        want = extract_patches_reference(images, offsets, flips, 8,
+                                         indices=indices)
+        assert got.shape == (6, 8, 8, 3)
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
     def test_corner_offsets(self):
         images, _, _ = self._data(b=2, h=24, w=40, p=8)
         offsets = np.array([[0, 0], [24 - 8, 40 - 8]], np.int32)
