@@ -83,18 +83,59 @@ class CrowdExperiment(Experiment):
         self.validation_dataset = None  # crowd has its own validation path
 
     def _upload_databases(self) -> None:
-        """Place split arrays in device HBM once (float32; raw 0..255)."""
+        """Place split arrays in device HBM once (float32; raw 0..255).
+
+        With ``settings.crowd_host_pipeline`` the training splits stay on
+        the host (served by the native C++ prefetcher); only the small
+        validation split goes to HBM for grid evaluation.
+        """
         put = jax.device_put
         self._device_data = {
-            "labeled_images": put(
-                self.labeled_db.images.astype(np.float32)),
-            "labeled_density": put(
-                self.labeled_db.density_maps[..., None]),
-            "unlabeled_images": put(
-                self.unlabeled_db.images.astype(np.float32)),
             "validation_images": put(
                 self.validation_db.images.astype(np.float32)),
         }
+        if not self.settings.crowd_host_pipeline:
+            self._device_data.update({
+                "labeled_images": put(
+                    self.labeled_db.images.astype(np.float32)),
+                "labeled_density": put(
+                    self.labeled_db.density_maps[..., None]),
+                "unlabeled_images": put(
+                    self.unlabeled_db.images.astype(np.float32)),
+            })
+
+    def _prepare_host_pipeline(self):
+        """Export splits as .npy and stand up the native C++ readers/
+        prefetchers (native/srgan_io.cc): the DataLoader-worker
+        equivalent for larger-than-HBM databases."""
+        import tempfile
+
+        from srgan_tpu.io import NativeDatasetReader, NativePrefetcher
+
+        settings = self.settings
+        cache = tempfile.mkdtemp(prefix="srgan_native_")
+        paths = {
+            "labeled": os.path.join(cache, "labeled.npy"),
+            "density": os.path.join(cache, "density.npy"),
+            "unlabeled": os.path.join(cache, "unlabeled.npy"),
+        }
+        np.save(paths["labeled"], self.labeled_db.images)
+        np.save(paths["density"],
+                self.labeled_db.density_maps[..., None])
+        np.save(paths["unlabeled"], self.unlabeled_db.images)
+        labeled_reader = NativeDatasetReader(paths["labeled"])
+        self._density_reader = NativeDatasetReader(paths["density"])
+        unlabeled_reader = NativeDatasetReader(paths["unlabeled"])
+        self._labeled_prefetcher = NativePrefetcher(
+            labeled_reader, settings.batch_size,
+            settings.image_patch_size, scale=2.0 / 255.0, shift=-1.0,
+            num_threads=max(1, settings.number_of_data_workers),
+            seed=settings.seed + 11)
+        self._unlabeled_prefetcher = NativePrefetcher(
+            unlabeled_reader, settings.batch_size,
+            settings.image_patch_size, scale=2.0 / 255.0, shift=-1.0,
+            num_threads=max(1, settings.number_of_data_workers),
+            seed=settings.seed + 12)
 
     # -------------------------------------------------------------- models
     def model_setup(self) -> Tuple[ModelBundle, Any, Any, Any]:
@@ -144,6 +185,8 @@ class CrowdExperiment(Experiment):
     def prepare_train_step(self) -> None:
         super().prepare_train_step()
         self._upload_databases()
+        if self.settings.crowd_host_pipeline:
+            self._prepare_host_pipeline()
         p = self.settings.image_patch_size
 
         @jax.jit
@@ -179,6 +222,9 @@ class CrowdExperiment(Experiment):
         return idx, offs, flips
 
     def epoch_batch_iterators(self):
+        if self.settings.crowd_host_pipeline:
+            yield from self._host_epoch_iterators()
+            return
         settings = self.settings
         rng = np.random.default_rng(settings.seed + 1)
         data = self._device_data
@@ -200,6 +246,28 @@ class CrowdExperiment(Experiment):
 
         while True:
             yield one_epoch()
+
+    def _host_epoch_iterators(self):
+        """Native C++ pipeline: threaded prefetchers assemble image
+        batches; density crops are gathered with the SAME (index, offset,
+        flip) parameters so augmentation stays label-consistent."""
+        from srgan_tpu.data.core import prefetch_to_device
+        from srgan_tpu.parallel.mesh import batch_sharding
+
+        steps = self.steps_per_epoch()
+        sharding = batch_sharding(self.mesh)
+
+        def host_batches():
+            for _ in range(steps):
+                patches, idx, offs, flips = \
+                    self._labeled_prefetcher.next_with_params()
+                density = self._density_reader.gather_crops(
+                    idx, offs, flips, self.settings.image_patch_size)
+                upatches, _ = self._unlabeled_prefetcher.next()
+                yield patches, density[..., 0], upatches
+
+        while True:
+            yield prefetch_to_device(host_batches(), sharding)
 
     # ----------------------------------------------------------- evaluation
     def _grid_offsets(self, image_hw: Tuple[int, int]) -> np.ndarray:

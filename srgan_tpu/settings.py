@@ -101,6 +101,9 @@ class Settings:
     count_loss_multiplier: float = 1e0
     # synthetic fallback database (tests/bench without real UCF-QNRF):
     crowd_synthetic_max_heads: int = 64
+    # Host-side C++ input pipeline (native/srgan_io.cc) instead of the
+    # HBM-resident Pallas path — for databases larger than device HBM.
+    crowd_host_pipeline: bool = False
     # Age:
     age_image_size: int = 64
     age_database_path: Optional[str] = None  # preprocessed .npz; None → synthetic

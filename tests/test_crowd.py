@@ -129,6 +129,21 @@ class TestCrowdExperiment:
                                    "scalars.jsonl")
         assert os.path.exists(gan_scalars)
 
+    def test_end_to_end_host_pipeline(self, tmp_path):
+        """Same trial through the native C++ input runtime."""
+        import jax
+        from srgan_tpu.apps.crowd import CrowdExperiment
+        from srgan_tpu.io import native_library_available
+
+        if not native_library_available():
+            pytest.skip("g++ unavailable")
+        exp = CrowdExperiment(self._settings(tmp_path,
+                                             crowd_host_pipeline=True))
+        state = exp.train()
+        assert int(jax.device_get(state.step)) == 3
+        result = exp.evaluate()
+        assert np.isfinite(result["MAE"])
+
     def test_labeled_loss_two_heads(self):
         import jax.numpy as jnp
         from srgan_tpu.apps.crowd import CrowdExperiment, sum_pool
