@@ -1,0 +1,118 @@
+"""CLI entry: ``python -m srgan_tpu <app> [--setting value ...]``.
+
+Mirrors the reference's per-app entry scripts (``<app>/srgan.py:__main__``
+constructing a Settings and calling ``Experiment.train()`` — SURVEY.md §1
+entry layer), with settings fields exposed as ``--flags``. Any dataclass
+field of :class:`~srgan_tpu.settings.Settings` can be overridden;
+values are parsed with the field's type.
+
+Examples:
+  python -m srgan_tpu coefficient --steps_to_run 2000 --learning_rate 1e-3
+  python -m srgan_tpu age --dnn_only true
+  python -m srgan_tpu crowd --crowd_database_path /data/ucf_qnrf_npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import typing
+
+from srgan_tpu.settings import Settings
+
+APPS = {
+    "coefficient": "srgan_tpu.apps.coefficient:CoefficientExperiment",
+    "age": "srgan_tpu.apps.age:AgeExperiment",
+    "crowd": "srgan_tpu.apps.crowd:CrowdExperiment",
+    "driving": "srgan_tpu.apps.driving:DrivingExperiment",
+}
+
+
+def _parse_value(raw: str, field_type):
+    origin = typing.get_origin(field_type)
+    if origin is typing.Union:  # Optional[T]
+        args = [a for a in typing.get_args(field_type)
+                if a is not type(None)]
+        if raw.lower() in ("none", "null"):
+            return None
+        field_type = args[0]
+        origin = typing.get_origin(field_type)
+    if field_type is bool:
+        return raw.lower() in ("1", "true", "yes", "on")
+    if field_type is int:
+        return int(raw)
+    if field_type is float:
+        return float(raw)
+    if origin in (tuple, list):
+        return type(origin is tuple and () or [])(json.loads(raw))
+    return raw
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    parser = argparse.ArgumentParser(
+        prog="srgan_tpu",
+        description="TPU-native SR-GAN training",
+        epilog=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    parser.add_argument("app", choices=sorted(APPS),
+                        help="application experiment to run")
+    parser.add_argument("--evaluate_only", action="store_true",
+                        help="restore load_model_path and evaluate only")
+    args, rest = parser.parse_known_args(argv)
+
+    overrides = []
+    i = 0
+    hints = typing.get_type_hints(Settings)
+    while i < len(rest):
+        token = rest[i]
+        if not token.startswith("--"):
+            raise SystemExit(f"unexpected argument {token!r}")
+        name = token[2:]
+        if "=" in name:
+            name, raw = name.split("=", 1)
+        else:
+            i += 1
+            if i >= len(rest):
+                raise SystemExit(f"--{name} requires a value")
+            raw = rest[i]
+        if name not in hints:
+            known = ", ".join(sorted(hints))
+            raise SystemExit(f"unknown setting --{name}; known: {known}")
+        overrides.append((name, _parse_value(raw, hints[name])))
+        i += 1
+
+    settings = Settings(**dict(overrides))
+    module_name, class_name = APPS[args.app].split(":")
+    import importlib
+    experiment_cls = getattr(importlib.import_module(module_name),
+                             class_name)
+    experiment = experiment_cls(settings)
+    if args.evaluate_only:
+        if not settings.load_model_path:
+            raise SystemExit("--evaluate_only requires --load_model_path")
+        experiment.trial_directory = settings.load_model_path
+        from srgan_tpu.utils.summary import SummaryWriter
+        import os
+        experiment.dnn_summary_writer = SummaryWriter(
+            os.path.join(settings.load_model_path, "eval_DNN"))
+        experiment.gan_summary_writer = SummaryWriter(
+            os.path.join(settings.load_model_path, "eval_GAN"))
+        experiment.dataset_setup()
+        models, d, g, dnn = experiment.model_setup()
+        experiment.models = models
+        from srgan_tpu.train import init_train_state
+        experiment.state = init_train_state(settings, d, g, dnn)
+        experiment.prepare_mesh()
+        experiment.prepare_train_step()
+        experiment.load_models()
+        print(json.dumps(experiment.evaluate()))
+        return 0
+    experiment.train()
+    print(json.dumps({"trial_directory": experiment.trial_directory,
+                      "evaluation": experiment.evaluate()}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

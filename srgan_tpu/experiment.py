@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import itertools
 import os
+import time
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -156,21 +157,38 @@ class Experiment:
         else:
             total_steps = settings.steps_to_run
 
+        profile_range = settings.profile_step_range
+        last_summary_time = None
+        last_summary_step = step
         epoch = step // steps_per_epoch
         epochs = self.epoch_batch_iterators()
         while step < total_steps:
             for labeled_x, labels, unlabeled_x in next(epochs):
-                if settings.dnn_only:
-                    self.state, step_metrics = self._train_step(
-                        self.state, labeled_x, labels)
-                else:
-                    self.state, step_metrics = self._train_step(
-                        self.state, labeled_x, labels, unlabeled_x,
-                        keys.next())
+                if profile_range and step == profile_range[0]:
+                    jax.profiler.start_trace(
+                        os.path.join(self.trial_directory, "profile"))
+                self.state, step_metrics = self._step(labeled_x, labels,
+                                                      unlabeled_x, keys)
+                if profile_range and step == profile_range[1]:
+                    jax.profiler.stop_trace()
                 self.gan_summary_writer.step = step
                 self.dnn_summary_writer.step = step
                 if self.gan_summary_writer.is_summary_step():
                     self.write_step_summaries(step_metrics)
+                    # Throughput since the last summary (the device_get in
+                    # write_step_summaries is the synchronization point).
+                    now = time.perf_counter()
+                    if last_summary_time is not None \
+                            and step > last_summary_step:
+                        steps_per_sec = ((step - last_summary_step)
+                                         / (now - last_summary_time))
+                        self.gan_summary_writer.add_scalar(
+                            "throughput/steps_per_second", steps_per_sec)
+                        self.gan_summary_writer.add_scalar(
+                            "throughput/examples_per_second",
+                            steps_per_sec * settings.batch_size)
+                    last_summary_time = now
+                    last_summary_step = step
                 if (settings.save_step_period
                         and step > 0
                         and step % settings.save_step_period == 0):
@@ -180,6 +198,12 @@ class Experiment:
                     break
             epoch += 1
             self.validation_summaries(epoch=epoch, step=step)
+
+    def _step(self, labeled_x, labels, unlabeled_x, keys):
+        if self.settings.dnn_only:
+            return self._train_step(self.state, labeled_x, labels)
+        return self._train_step(self.state, labeled_x, labels,
+                                unlabeled_x, keys.next())
 
     def steps_per_epoch(self) -> int:
         return max(1, len(self.labeled_dataset) // self.settings.batch_size)

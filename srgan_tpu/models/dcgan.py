@@ -41,12 +41,24 @@ class DCGANGenerator(nn.Module):
     @nn.compact
     def __call__(self, z: jax.Array) -> jax.Array:
         assert self.image_size % 8 == 0, "image_size must be divisible by 8"
-        start = 4
+        # Prefer a seed size that reaches image_size exactly by doubling
+        # (224 = 7·2⁵, 96 = 6·2⁴, 64 = 4·2⁴): no wasted deconv FLOPs. If
+        # the odd factor exceeds 8, fall back to the next power-of-two and
+        # center-crop after the last deconv.
+        start = self.image_size
         num_ups = 0
-        size = start
-        while size < self.image_size:
-            size *= 2
+        while start % 2 == 0 and start > 7:
+            start //= 2
             num_ups += 1
+        if start > 7:  # odd factor too large; power-of-two fallback
+            start = 4
+            num_ups = 0
+            size = start
+            while size < self.image_size:
+                size *= 2
+                num_ups += 1
+        else:
+            size = start * (2 ** num_ups)
         x = z.astype(self.dtype)
         width = self.base_width * (2 ** (num_ups - 1))
         x = nn.Dense(start * start * width, dtype=self.dtype)(x)

@@ -37,6 +37,9 @@ class Settings:
     epochs_to_run: Optional[int] = None  # if set, overrides steps_to_run
     summary_step_period: int = 100
     save_step_period: Optional[int] = None  # default: save at end only
+    # Capture a jax.profiler trace (TensorBoard profile plugin) for steps
+    # [start, end) into <trial>/profile; None disables.
+    profile_step_range: Optional[Tuple[int, int]] = None
     # Reference trains G every `generator_training_step_period` D steps [M].
     generator_training_step_period: int = 1  # provisional
 
@@ -75,6 +78,11 @@ class Settings:
     # 'log' → -log(d + 1) (SURVEY §2: "log-scaled negative distance").
     contrasting_distance_function: str = "log"
     normalize_feature_norm: bool = False  # provisional reference option [L]
+
+    # Run the labeled/unlabeled/fake D forwards as one concatenated 3B
+    # batch (identical math under per-example normalization; better MXU
+    # occupancy). Disable to mirror the reference's per-stream forwards.
+    fuse_discriminator_streams: bool = True
 
     # ------------------------------------------------------------- precision
     # fp32 keeps fidelity with the reference; bf16 engages the MXU's native

@@ -121,13 +121,36 @@ def make_gan_train_step(
         shape = (batch,) + tuple(latent_shape or (z_dim,))
         return sample_offset_normal(key, shape, settings.mean_offset)
 
+    def d_streams(d_params: Params, labeled_x: Array, unlabeled_x: Array,
+                  fake: Array):
+        """D forward on the three primal streams.
+
+        When ``fuse_discriminator_streams`` is on, the three forwards run
+        as ONE batched call over the concatenated 3B batch — one conv
+        kernel launch sequence instead of three, better MXU occupancy at
+        small per-stream batch. Mathematically identical because the
+        models use per-example normalization (GroupNorm), never batch
+        statistics — the property the reference's BatchNorm forced it to
+        work around with freeze tricks (SURVEY.md §7 hard part (a)).
+        """
+        if settings.fuse_discriminator_streams:
+            b = labeled_x.shape[0]
+            stacked = jnp.concatenate([labeled_x, unlabeled_x, fake],
+                                      axis=0)
+            preds, feats = models.d_apply(d_params, stacked)
+            pred_l = jax.tree.map(lambda t: t[:b], preds)
+            return pred_l, feats[:b], feats[b:2 * b], feats[2 * b:]
+        pred_l, f_l = models.d_apply(d_params, labeled_x)
+        _, f_u = models.d_apply(d_params, unlabeled_x)
+        _, f_f = models.d_apply(d_params, fake)
+        return pred_l, f_l, f_u, f_f
+
     def d_loss(d_params: Params, g_params: Params, labeled_x: Array,
                labels: Array, unlabeled_x: Array, z: Array, alpha: Array
                ) -> Tuple[Array, Dict[str, Array]]:
         fake = jax.lax.stop_gradient(models.g_apply(g_params, z))
-        pred_l, f_l = models.d_apply(d_params, labeled_x)
-        _, f_u = models.d_apply(d_params, unlabeled_x)
-        _, f_f = models.d_apply(d_params, fake)
+        pred_l, f_l, f_u, f_f = d_streams(d_params, labeled_x,
+                                          unlabeled_x, fake)
         l_loss = labeled_loss_fn(pred_l, labels)
         u_loss = losses.unlabeled_loss(
             f_l, f_u, multiplier=settings.unlabeled_loss_multiplier,
