@@ -89,7 +89,8 @@ class CrowdExperiment(Experiment):
         the host (served by the native C++ prefetcher); only the small
         validation split goes to HBM for grid evaluation.
         """
-        put = jax.device_put
+        repl = pmesh.replicated_sharding(self.mesh)
+        put = lambda a: jax.device_put(a, repl)
         self._device_data = {
             "validation_images": put(
                 self.validation_db.images.astype(np.float32)),
@@ -189,9 +190,8 @@ class CrowdExperiment(Experiment):
             self._prepare_host_pipeline()
         p = self.settings.image_patch_size
 
-        @jax.jit
-        def sample_batch(labeled_images, labeled_density, unlabeled_images,
-                         idx, offs, flips, uidx, uoffs, uflips):
+        def sample_fn(labeled_images, labeled_density, unlabeled_images,
+                      idx, offs, flips, uidx, uoffs, uflips):
             patches = extract_patches(
                 labeled_images, offs, flips, patch_size=p,
                 scale=2.0 / 255.0, shift=-1.0, indices=idx)
@@ -203,7 +203,22 @@ class CrowdExperiment(Experiment):
                 scale=2.0 / 255.0, shift=-1.0, indices=uidx)
             return patches, density, upatches
 
-        self._sample_batch = sample_batch
+        if self.mesh.size > 1:
+            # Multi-chip: each device samples ITS shard of the batch from
+            # its (replicated) copy of the database — the Pallas gather
+            # runs per shard under shard_map and the resulting patches are
+            # born with the train step's 'data' sharding; no cross-device
+            # resharding between sampling and training.
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            db = P()        # database arrays replicated
+            sh = P("data")  # per-example sampling params / outputs
+            sample_fn = shard_map(
+                sample_fn, mesh=self.mesh,
+                in_specs=(db, db, db, sh, sh, sh, sh, sh, sh),
+                out_specs=(sh, sh, sh), check_rep=False)
+        self._sample_batch = jax.jit(sample_fn)
         self._eval_patches = jax.jit(
             lambda images, offs, idx:
             extract_patches(images, offs, jnp.zeros_like(idx),

@@ -129,6 +129,8 @@ class Experiment:
         """Full trial: the reference's `Experiment.train()` call stack
         (SURVEY.md §3.1), with the hot loop fused under jit."""
         settings = self.settings
+        if settings.debug_nans:
+            jax.config.update("jax_debug_nans", True)
         self.trial_directory = make_trial_directory(settings)
         self.prepare_summary_writers()
         seed_all(settings.seed)

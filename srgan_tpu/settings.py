@@ -40,6 +40,8 @@ class Settings:
     # Capture a jax.profiler trace (TensorBoard profile plugin) for steps
     # [start, end) into <trial>/profile; None disables.
     profile_step_range: Optional[Tuple[int, int]] = None
+    # Debug config (SURVEY.md §5): make jit error on NaN production.
+    debug_nans: bool = False
     # Reference trains G every `generator_training_step_period` D steps [M].
     generator_training_step_period: int = 1  # provisional
 

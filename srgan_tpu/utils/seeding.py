@@ -8,6 +8,7 @@ seed so every stochastic site (data, z-draws, α-draws, init) is reproducible.
 from __future__ import annotations
 
 import random
+import zlib
 
 import jax
 import numpy as np
@@ -20,9 +21,11 @@ def seed_all(seed: int = 0) -> None:
 
 
 def key_for(seed: int, name: str) -> jax.Array:
-    """Derive a named fold of the experiment key (stable across runs)."""
+    """Derive a named fold of the experiment key, stable across processes
+    (crc32, NOT Python ``hash()`` — the builtin is salted per process and
+    silently breaks run-to-run reproducibility)."""
     return jax.random.fold_in(jax.random.key(seed),
-                              abs(hash(name)) % (2 ** 31))
+                              zlib.crc32(name.encode()) % (2 ** 31))
 
 
 class KeySequence:
