@@ -131,3 +131,35 @@ def age_datasets(settings) -> Tuple[ArrayDataset, ArrayDataset,
     val = synthetic_age_examples(settings.validation_dataset_size, size,
                                  settings.seed + 2)
     return (ArrayDataset(*lab), ArrayDataset(unl[0]), ArrayDataset(*val))
+
+
+def main(argv=None) -> int:
+    """Offline preprocessing entry (reference: age preprocessing script
+    [H]):
+
+    python -m srgan_tpu.data.age <root_dir> <wiki.mat> <out.npz> \
+        [--database wiki|imdb] [--image-size N] [--limit N]
+    """
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        prog="srgan_tpu.data.age",
+        description="Preprocess IMDB-WIKI into a fixed-size .npz")
+    parser.add_argument("root_directory")
+    parser.add_argument("mat_path")
+    parser.add_argument("output_path")
+    parser.add_argument("--database", default="wiki",
+                        choices=["wiki", "imdb"])
+    parser.add_argument("--image-size", type=int, default=64)
+    parser.add_argument("--limit", type=int, default=None)
+    args = parser.parse_args(argv)
+    images, ages = preprocess_imdb_wiki(
+        args.root_directory, args.mat_path, database=args.database,
+        image_size=args.image_size, limit=args.limit,
+        output_path=args.output_path)
+    print(f"wrote {len(images)} examples to {args.output_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

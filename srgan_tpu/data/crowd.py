@@ -210,6 +210,36 @@ PREPROCESSORS: Dict[str, type] = {
 # Synthetic database (hermetic tests / benchmarking without the real data).
 # --------------------------------------------------------------------------
 
+def main(argv=None) -> int:
+    """Offline preprocessing entry (reference:
+    crowd/database_preprocessor.py:__main__ [A][H]):
+
+    python -m srgan_tpu.data.crowd <raw_dir> <out.npz> \
+        [--database ucf_qnrf|shanghai_tech] [--height H] [--width W]
+        [--sigma S]
+    """
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        prog="srgan_tpu.data.crowd",
+        description="Preprocess a raw crowd database into a fixed-"
+                    "resolution .npz split")
+    parser.add_argument("raw_directory")
+    parser.add_argument("output_path")
+    parser.add_argument("--database", default="ucf_qnrf",
+                        choices=sorted(PREPROCESSORS))
+    parser.add_argument("--height", type=int, default=384)
+    parser.add_argument("--width", type=int, default=512)
+    parser.add_argument("--sigma", type=float, default=8.0)
+    args = parser.parse_args(argv)
+    pre = PREPROCESSORS[args.database](height=args.height,
+                                       width=args.width, sigma=args.sigma)
+    db = pre.preprocess(args.raw_directory, args.output_path)
+    print(f"wrote {len(db)} examples "
+          f"({args.height}x{args.width}) to {args.output_path}")
+    return 0
+
+
 def synthetic_crowd_database(count: int, height: int = 96, width: int = 128,
                              max_heads: int = 64, sigma: float = 4.0,
                              seed: int = 0) -> CrowdDatabase:
@@ -237,3 +267,7 @@ def synthetic_crowd_database(count: int, height: int = 96, width: int = 128,
         counts[i] = float(n)
     return CrowdDatabase(images=images.astype(np.uint8),
                          density_maps=densities, head_counts=counts)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
