@@ -45,6 +45,40 @@ def generate_density_label(head_positions: np.ndarray, height: int,
     return density_maps_reference(heads, counts, sigma, height, width)[0]
 
 
+def generate_knn_map(head_positions: np.ndarray, height: int, width: int,
+                     k: int = 1) -> np.ndarray:
+    """Per-pixel mean distance to the k nearest annotated heads.
+
+    Reference: the crowd-paper branch's kNN-distance maps (SURVEY.md §2
+    6c, arXiv:1902.05379 [M]) — an alternative regression target that is
+    well-defined even far from any head. Empty annotation → the map is
+    the distance to the image diagonal (max possible), matching the
+    "no crowd anywhere" reading.
+    """
+    heads = np.asarray(head_positions, np.float32).reshape(-1, 2)
+    yy, xx = np.mgrid[0:height, 0:width].astype(np.float32)
+    if len(heads) == 0:
+        diag = np.float32(np.hypot(height, width))
+        return np.full((height, width), diag, np.float32)
+    k = min(k, len(heads))
+    # [H, W, M] pairwise distances; M is modest after preprocessing.
+    d = np.sqrt((yy[..., None] - heads[None, None, :, 0]) ** 2
+                + (xx[..., None] - heads[None, None, :, 1]) ** 2)
+    if k == 1:
+        return d.min(axis=-1).astype(np.float32)
+    part = np.partition(d, k - 1, axis=-1)[..., :k]
+    return part.mean(axis=-1).astype(np.float32)
+
+
+def generate_iknn_map(head_positions: np.ndarray, height: int, width: int,
+                      k: int = 1, epsilon: float = 1.0) -> np.ndarray:
+    """Inverse kNN map: ``1 / (knn + ε)`` — bounded, crowd-density-like
+    response that the crowd-paper branch regresses instead of raw kNN
+    distance (iKNN maps [M])."""
+    return (1.0 / (generate_knn_map(head_positions, height, width, k)
+                   + epsilon)).astype(np.float32)
+
+
 # --------------------------------------------------------------------------
 # Database container.
 # --------------------------------------------------------------------------
@@ -61,6 +95,9 @@ class CrowdDatabase:
     images: np.ndarray
     density_maps: np.ndarray
     head_counts: np.ndarray
+    # Optional alternative regression targets (kNN / iKNN maps of the
+    # crowd-paper branch [M]); same [N, H, W] shape when present.
+    aux_maps: Optional[np.ndarray] = None
 
     def __post_init__(self):
         assert self.images.ndim == 4 and self.images.shape[3] == 3
@@ -76,16 +113,20 @@ class CrowdDatabase:
 
     def save(self, path: str) -> None:
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-        np.savez_compressed(path, images=self.images,
-                            density_maps=self.density_maps,
-                            head_counts=self.head_counts)
+        arrays = dict(images=self.images, density_maps=self.density_maps,
+                      head_counts=self.head_counts)
+        if self.aux_maps is not None:
+            arrays["aux_maps"] = self.aux_maps
+        np.savez_compressed(path, **arrays)
 
     @classmethod
     def load(cls, path: str) -> "CrowdDatabase":
         data = np.load(path)
         return cls(images=data["images"],
                    density_maps=data["density_maps"],
-                   head_counts=data["head_counts"])
+                   head_counts=data["head_counts"],
+                   aux_maps=(data["aux_maps"]
+                             if "aux_maps" in data else None))
 
 
 # --------------------------------------------------------------------------
@@ -104,10 +145,16 @@ class DatabasePreprocessor:
     database_name = "base"
 
     def __init__(self, height: int = 384, width: int = 512,
-                 sigma: float = 8.0):
+                 sigma: float = 8.0, label_type: str = "density",
+                 knn_k: int = 1):
+        if label_type not in ("density", "knn", "iknn"):
+            raise ValueError(f"unknown label_type {label_type!r}; "
+                             f"choose density, knn or iknn")
         self.height = height
         self.width = width
         self.sigma = sigma
+        self.label_type = label_type
+        self.knn_k = knn_k
 
     # -------------------------------------------------- subclass interface
     def example_paths(self, raw_directory: str):
@@ -123,7 +170,7 @@ class DatabasePreprocessor:
                    output_path: Optional[str] = None) -> CrowdDatabase:
         from PIL import Image
 
-        images, densities, counts = [], [], []
+        images, densities, counts, aux = [], [], [], []
         for image_path, ann_path in self.example_paths(raw_directory):
             with Image.open(image_path) as img:
                 img = img.convert("RGB")
@@ -140,6 +187,12 @@ class DatabasePreprocessor:
                 if len(heads_xy) else np.zeros((0, 2), np.float32)
             density = generate_density_label(heads_yx, self.height,
                                              self.width, self.sigma)
+            if self.label_type == "knn":
+                aux.append(generate_knn_map(heads_yx, self.height,
+                                            self.width, self.knn_k))
+            elif self.label_type == "iknn":
+                aux.append(generate_iknn_map(heads_yx, self.height,
+                                             self.width, self.knn_k))
             images.append(resized)
             densities.append(density)
             counts.append(float(len(heads_yx)))
@@ -148,7 +201,9 @@ class DatabasePreprocessor:
             np.zeros((0, self.height, self.width, 3), np.uint8),
             density_maps=np.stack(densities).astype(np.float32) if densities
             else np.zeros((0, self.height, self.width), np.float32),
-            head_counts=np.asarray(counts, np.float32))
+            head_counts=np.asarray(counts, np.float32),
+            aux_maps=(np.stack(aux).astype(np.float32)
+                      if aux else None))
         if output_path:
             database.save(output_path)
         return database
@@ -231,9 +286,14 @@ def main(argv=None) -> int:
     parser.add_argument("--height", type=int, default=384)
     parser.add_argument("--width", type=int, default=512)
     parser.add_argument("--sigma", type=float, default=8.0)
+    parser.add_argument("--label-type", default="density",
+                        choices=["density", "knn", "iknn"])
+    parser.add_argument("--knn-k", type=int, default=1)
     args = parser.parse_args(argv)
     pre = PREPROCESSORS[args.database](height=args.height,
-                                       width=args.width, sigma=args.sigma)
+                                       width=args.width, sigma=args.sigma,
+                                       label_type=args.label_type,
+                                       knn_k=args.knn_k)
     db = pre.preprocess(args.raw_directory, args.output_path)
     print(f"wrote {len(db)} examples "
           f"({args.height}x{args.width}) to {args.output_path}")

@@ -31,8 +31,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-_SUBLANE = 8  # f32 sublane tile: row DMA offsets must be 8-aligned
 _LANE = 128   # lane tile: flattened row length must be a multiple
+
+
+def _sublane_for(dtype) -> int:
+    """Sublane tile (row-alignment requirement for DMA offsets) by item
+    size: f32 → 8 rows, bf16 → 16, u8/i8 → 32."""
+    return {4: 8, 2: 16, 1: 32}[np.dtype(dtype).itemsize]
 
 
 def padded_row_length(width: int, channels: int) -> int:
@@ -41,35 +46,46 @@ def padded_row_length(width: int, channels: int) -> int:
     return -(-(width * channels) // _LANE) * _LANE
 
 
-def _rows_kernel(offsets_ref, images_ref, scale_ref, shift_ref,
-                 out_ref, scratch_ref, sem_ref):
-    """One example per grid step: DMA P+8 rows from an aligned base,
+def _make_rows_kernel(sublane: int):
+    """One example per grid step: DMA P+sublane rows from an aligned base,
     normalize.
 
     Mosaic requires the sublane (row) DMA offset to be tile-aligned
-    (8 rows for f32), so the kernel reads from ``align8(oy)`` — clamped so
-    the window stays in bounds — and the XLA tail slices off the ≤8-row
-    remainder along with the x-window.
+    (8 rows for f32, 32 for u8), so the kernel reads from ``align(oy)`` —
+    clamped so the window stays in bounds — and the XLA tail slices off
+    the sub-tile remainder along with the x-window.
 
     offsets_ref: SMEM scalar-prefetch [B, 3] int32 (src_idx, aligned_oy, ox)
     images_ref:  HBM [N, H, W*C] — the whole dataset may live here; src_idx
                  gathers the example, so random patch sampling never copies
                  a full image out of HBM
     scale_ref/shift_ref: SMEM (1, 1) float32 — out = x * scale + shift
-    out_ref:     VMEM [1, P + 8, W*C]
-    scratch_ref: VMEM [P + 8, W*C]
+    out_ref:     VMEM [1, P + sublane, W*C] float32
+    scratch_ref: VMEM [P + sublane, W*C] (input dtype)
     """
-    i = pl.program_id(0)
-    rows = out_ref.shape[1]
-    src = offsets_ref[i, 0]
-    # The wrapper guarantees 8-alignment; Mosaic needs the hint to prove it.
-    base = pl.multiple_of(offsets_ref[i, 1], _SUBLANE)
-    dma = pltpu.make_async_copy(
-        images_ref.at[src, pl.ds(base, rows), :], scratch_ref, sem_ref)
-    dma.start()
-    dma.wait()
-    out_ref[0] = (scratch_ref[:].astype(jnp.float32) * scale_ref[0, 0]
-                  + shift_ref[0, 0])
+
+    def kernel(offsets_ref, images_ref, scale_ref, shift_ref,
+               out_ref, scratch_ref, sem_ref):
+        i = pl.program_id(0)
+        rows = out_ref.shape[1]
+        src = offsets_ref[i, 0]
+        # Wrapper guarantees alignment; Mosaic needs the hint to prove it.
+        base = pl.multiple_of(offsets_ref[i, 1], sublane)
+        dma = pltpu.make_async_copy(
+            images_ref.at[src, pl.ds(base, rows), :], scratch_ref, sem_ref)
+        dma.start()
+        dma.wait()
+        if scratch_ref.dtype == jnp.uint8:
+            # Mosaic has no unsigned casts: reinterpret as i8 and undo the
+            # two's-complement wrap (192u8 → -64i8 → +256 → 192.0).
+            signed = pltpu.bitcast(scratch_ref[:],
+                                   jnp.int8).astype(jnp.float32)
+            x = jnp.where(signed < 0, signed + 256.0, signed)
+        else:
+            x = scratch_ref[:].astype(jnp.float32)
+        out_ref[0] = x * scale_ref[0, 0] + shift_ref[0, 0]
+
+    return kernel
 
 
 @functools.partial(jax.jit,
@@ -101,10 +117,12 @@ def extract_patches(images: jax.Array, offsets: jax.Array,
     interpret = interpret or jax.default_backend() == "cpu"
     n, h, w, c = images.shape
     p = patch_size
-    rows_out = p + _SUBLANE
+    sublane = _sublane_for(images.dtype)
+    rows_out = p + sublane
     if h < rows_out:
         raise ValueError(f"image height {h} must be ≥ patch_size + "
-                         f"{_SUBLANE} = {rows_out}")
+                         f"{sublane} = {rows_out} for dtype "
+                         f"{images.dtype}")
     # The HBM row DMA takes full lanes, so the flattened row length W*C
     # must be a lane-tile multiple; pad once here (store datasets
     # pre-padded via `padded_row_length` to make this a no-op).
@@ -116,8 +134,8 @@ def extract_patches(images: jax.Array, offsets: jax.Array,
     indices = indices.astype(jnp.int32)
     b = indices.shape[0]
     oy, ox = offsets[:, 0], offsets[:, 1]
-    aligned_oy = jnp.minimum((oy // _SUBLANE) * _SUBLANE, h - rows_out)
-    dy = oy - aligned_oy  # ∈ [0, 8]
+    aligned_oy = jnp.minimum((oy // sublane) * sublane, h - rows_out)
+    dy = oy - aligned_oy  # ∈ [0, sublane]
     kernel_offsets = jnp.stack([indices, aligned_oy, ox], axis=1)
     scale_arr = jnp.full((1, 1), scale, jnp.float32)
     shift_arr = jnp.full((1, 1), shift, jnp.float32)
@@ -143,7 +161,7 @@ def extract_patches(images: jax.Array, offsets: jax.Array,
     if wc_padded != wc:
         flat = jnp.pad(flat, ((0, 0), (0, 0), (0, wc_padded - wc)))
     rows = pl.pallas_call(
-        _rows_kernel,
+        _make_rows_kernel(sublane),
         out_shape=jax.ShapeDtypeStruct((b, rows_out, wc_padded),
                                        jnp.float32),
         grid_spec=grid_spec,

@@ -27,6 +27,54 @@ class TestLabelGeneration:
         assert density.shape == (32, 32) and density.sum() == 0.0
 
 
+class TestKnnMaps:
+    def test_knn_map_zero_at_heads_grows_away(self):
+        from srgan_tpu.data.crowd import generate_knn_map
+        heads = np.array([[8.0, 8.0]])
+        m = generate_knn_map(heads, 16, 16, k=1)
+        assert m[8, 8] == pytest.approx(0.0, abs=1e-6)
+        assert m[0, 0] == pytest.approx(np.hypot(8, 8), rel=1e-5)
+
+    def test_knn_k_mean_of_nearest(self):
+        from srgan_tpu.data.crowd import generate_knn_map
+        heads = np.array([[0.0, 0.0], [0.0, 4.0], [0.0, 100.0]])
+        m = generate_knn_map(heads, 1, 8, k=2)
+        # at (0, 2): distances 2, 2, 98 → mean of 2 nearest = 2
+        assert m[0, 2] == pytest.approx(2.0, rel=1e-5)
+
+    def test_knn_empty_heads_is_diagonal(self):
+        from srgan_tpu.data.crowd import generate_knn_map
+        m = generate_knn_map(np.zeros((0, 2)), 12, 16)
+        np.testing.assert_allclose(m, np.hypot(12, 16), rtol=1e-6)
+
+    def test_iknn_bounded_and_peaked_at_heads(self):
+        from srgan_tpu.data.crowd import generate_iknn_map
+        heads = np.array([[4.0, 4.0]])
+        m = generate_iknn_map(heads, 9, 9, epsilon=1.0)
+        assert m.max() == pytest.approx(1.0, rel=1e-5)  # at the head
+        assert np.unravel_index(m.argmax(), m.shape) == (4, 4)
+        assert m.min() > 0.0
+
+    def test_preprocessor_label_type_roundtrip(self, tmp_path):
+        from srgan_tpu.data.crowd import (CrowdDatabase,
+                                          UcfQnrfPreprocessor)
+        from scipy.io import savemat
+        raw = tmp_path / "raw"
+        raw.mkdir()
+        _write_image(raw / "img_0001.jpg")
+        savemat(raw / "img_0001_ann.mat",
+                {"annPoints": np.array([[10.0, 20.0]])})
+        pre = UcfQnrfPreprocessor(height=40, width=60, sigma=3.0,
+                                  label_type="iknn")
+        db = pre.preprocess(str(raw), str(tmp_path / "db.npz"))
+        assert db.aux_maps is not None and db.aux_maps.shape == (1, 40, 60)
+        loaded = CrowdDatabase.load(str(tmp_path / "db.npz"))
+        np.testing.assert_array_equal(loaded.aux_maps, db.aux_maps)
+        # density map still carried for counts
+        np.testing.assert_allclose(loaded.density_maps.sum(), 1.0,
+                                   rtol=1e-3)
+
+
 class TestSyntheticDatabase:
     def test_shapes_and_mass(self):
         db = synthetic_crowd_database(4, height=48, width=64, max_heads=10,

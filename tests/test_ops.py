@@ -99,6 +99,30 @@ class TestExtractPatches:
             jnp.ones(1, jnp.int32), patch_size=8, interpret=True))
         np.testing.assert_allclose(flip, noflip[:, :, ::-1], rtol=1e-6)
 
+    def test_uint8_images(self):
+        """uint8 datasets: 32-row sublane alignment path + cast-normalize
+        in kernel (4× HBM saving for crowd databases)."""
+        rng = np.random.default_rng(9)
+        images = rng.integers(0, 256, (3, 48, 40, 3)).astype(np.uint8)
+        offsets = np.stack([rng.integers(0, 48 - 8 + 1, 3),
+                            rng.integers(0, 40 - 8 + 1, 3)],
+                           axis=-1).astype(np.int32)
+        flips = rng.integers(0, 2, 3).astype(np.int32)
+        got = np.asarray(extract_patches(
+            jnp.asarray(images), jnp.asarray(offsets), jnp.asarray(flips),
+            patch_size=8, scale=2 / 255.0, shift=-1.0, interpret=True))
+        want = extract_patches_reference(images.astype(np.float32),
+                                         offsets, flips, 8, 2 / 255.0,
+                                         -1.0)
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_uint8_height_requirement(self):
+        with pytest.raises(ValueError, match="32"):
+            extract_patches(jnp.zeros((1, 32, 40, 3), jnp.uint8),
+                            jnp.zeros((1, 2), jnp.int32),
+                            jnp.zeros((1,), jnp.int32),
+                            patch_size=8, interpret=True)
+
     def test_dataset_gather_indices(self):
         """The input-queue path: B patches sampled by index from an
         N-image HBM-resident dataset (B != N, repeats allowed)."""
