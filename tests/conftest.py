@@ -15,3 +15,8 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
+# Suite wall-time is compile-dominated; persist compiled executables so
+# repeated runs (driver, local iteration) skip recompilation.
+jax.config.update("jax_compilation_cache_dir",
+                  "/tmp/jax_compilation_cache_srgan_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -1,0 +1,49 @@
+"""CLI entry tests: settings overrides, evaluate_only, error paths."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from srgan_tpu.__main__ import main
+
+
+def _common_args(tmp_path):
+    return ["--steps_to_run", "4", "--batch_size", "8",
+            "--labeled_dataset_size", "16", "--unlabeled_dataset_size",
+            "16", "--validation_dataset_size", "8", "--hidden_size", "8",
+            "--logs_directory", str(tmp_path / "logs"),
+            "--trial_name", "cli"]
+
+
+def test_train_then_evaluate_only(tmp_path, capsys):
+    rc = main(["coefficient"] + _common_args(tmp_path))
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    trial_dir = out["trial_directory"]
+    assert os.path.isdir(os.path.join(trial_dir, "checkpoints"))
+
+    rc = main(["coefficient", "--evaluate_only",
+               "--load_model_path", trial_dir] + _common_args(tmp_path))
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # evaluate_only on the restored state reproduces the trial's final eval
+    np.testing.assert_allclose(result["MAE"], out["evaluation"]["MAE"],
+                               rtol=1e-5)
+
+
+def test_evaluate_only_requires_model_path(tmp_path):
+    with pytest.raises(SystemExit, match="load_model_path"):
+        main(["coefficient", "--evaluate_only"] + _common_args(tmp_path))
+
+
+def test_unknown_setting_lists_known(tmp_path):
+    with pytest.raises(SystemExit, match="unknown setting --bogus"):
+        main(["coefficient", "--bogus", "1"])
+
+
+def test_equals_form_and_none_value(tmp_path):
+    rc = main(["coefficient", "--load_model_path=none"]
+              + _common_args(tmp_path))
+    assert rc == 0
