@@ -14,7 +14,6 @@ and only synchronizes with the device on summary steps.
 
 from __future__ import annotations
 
-import itertools
 import os
 import time
 from typing import Any, Dict, Optional, Tuple

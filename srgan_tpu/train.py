@@ -14,7 +14,6 @@ inserts the gradient all-reduces over ICI.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
