@@ -87,6 +87,12 @@ class Experiment:
         self.mesh = pmesh.make_mesh(self.settings.data_parallel_devices)
 
     def prepare_train_step(self) -> None:
+        if self.settings.batch_size % self.mesh.size != 0:
+            raise ValueError(
+                f"batch_size {self.settings.batch_size} must be divisible "
+                f"by the data-parallel mesh size {self.mesh.size} "
+                f"(set Settings.data_parallel_devices to restrict the "
+                f"mesh)")
         if self.settings.dnn_only:
             # Supervised-baseline-only config (e.g. "age DNN", SURVEY §2
             # component 8): no G/D updates, labeled stream only.
