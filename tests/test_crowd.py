@@ -177,6 +177,42 @@ class TestCrowdExperiment:
                                    "scalars.jsonl")
         assert os.path.exists(gan_scalars)
 
+    def test_sharded_sampler_matches_unsharded(self, tmp_path):
+        """The shard_map sampler (mesh>1) must produce exactly the same
+        patches as the plain path for the same (index, offset, flip)."""
+        import jax
+        from srgan_tpu.apps.crowd import CrowdExperiment
+
+        exp = CrowdExperiment(self._settings(tmp_path, batch_size=8))
+        exp.dataset_setup()
+        models, d, g, dnn = exp.model_setup()
+        from srgan_tpu.train import init_train_state
+        exp.models = models
+        exp.state = init_train_state(exp.settings, d, g, dnn)
+        exp.prepare_mesh()        # 8 virtual devices → shard_map path
+        assert exp.mesh.size == 8
+        exp.prepare_train_step()
+
+        rng = np.random.default_rng(0)
+        data = exp._device_data
+        idx, offs, flips = exp._random_patch_args(
+            rng, len(exp.labeled_db), exp.labeled_db.image_size, 8)
+        uidx, uoffs, uflips = exp._random_patch_args(
+            rng, len(exp.unlabeled_db), exp.unlabeled_db.image_size, 8)
+        sharded = exp._sample_batch(
+            data["labeled_images"], data["labeled_density"],
+            data["unlabeled_images"], idx, offs, flips, uidx, uoffs,
+            uflips)
+
+        # plain (single-device) reference via the ops API
+        from srgan_tpu.ops.patches import extract_patches
+        p = exp.settings.image_patch_size
+        want = extract_patches(
+            data["labeled_images"], offs, flips, patch_size=p,
+            scale=2.0 / 255.0, shift=-1.0, indices=idx)
+        np.testing.assert_allclose(np.asarray(sharded[0]),
+                                   np.asarray(want), rtol=1e-6)
+
     def test_end_to_end_host_pipeline(self, tmp_path):
         """Same trial through the native C++ input runtime."""
         import jax
