@@ -320,7 +320,10 @@ def synthetic_crowd_database(count: int, height: int = 96, width: int = 128,
         for hy, hx in heads:
             blob += np.exp(-((yy - hy) ** 2 + (xx - hx) ** 2)
                            / (2.0 * (2.5 * sigma) ** 2))
-        img = 40.0 + 180.0 * blob / max(blob.max(), 1e-6)
+        # Brightness LINEAR in local blob density (no per-image max
+        # normalization — that would decouple pixel values from count and
+        # make the regression target nearly unlearnable).
+        img = 40.0 + 140.0 * blob
         noise = rng.normal(0, 8.0, (height, width, 3))
         images[i] = np.clip(img[..., None] + noise, 0, 255)
         densities[i] = generate_density_label(heads, height, width, sigma)

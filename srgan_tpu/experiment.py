@@ -201,10 +201,15 @@ class Experiment:
                         and step % settings.save_step_period == 0):
                     self.save_models()
                 step += 1
+                if (settings.validation_step_period
+                        and step % settings.validation_step_period == 0):
+                    self.validation_summaries(
+                        epoch=step // steps_per_epoch, step=step)
                 if step >= total_steps:
                     break
             epoch += 1
-            self.validation_summaries(epoch=epoch, step=step)
+            if not settings.validation_step_period:
+                self.validation_summaries(epoch=epoch, step=step)
 
     def _step(self, labeled_x, labels, unlabeled_x, keys):
         if self.settings.dnn_only:

@@ -37,6 +37,10 @@ class Settings:
     epochs_to_run: Optional[int] = None  # if set, overrides steps_to_run
     summary_step_period: int = 100
     save_step_period: Optional[int] = None  # default: save at end only
+    # Validation cadence: None → per epoch (reference semantics); a step
+    # count decouples it from epoch length (vital when the labeled set is
+    # tiny and epochs are a handful of steps).
+    validation_step_period: Optional[int] = None
     # Capture a jax.profiler trace (TensorBoard profile plugin) for steps
     # [start, end) into <trial>/profile; None disables.
     profile_step_range: Optional[Tuple[int, int]] = None

@@ -228,6 +228,34 @@ class TestCrowdExperiment:
         result = exp.evaluate()
         assert np.isfinite(result["MAE"])
 
+    def test_counts_converge(self, tmp_path):
+        """Longer integration: training reduces full-image count MAE
+        substantially vs the untrained model (CPU-scale steps are too few
+        to beat the naive mean predictor — that bar belongs to TPU-scale
+        runs). Gated behind SRGAN_SLOW_TESTS=1 (~5 min on CPU)."""
+        if not os.environ.get("SRGAN_SLOW_TESTS"):
+            pytest.skip("set SRGAN_SLOW_TESTS=1 to run")
+        from srgan_tpu.apps.crowd import CrowdExperiment
+
+        settings = self._settings(
+            tmp_path, steps_to_run=400, batch_size=16,
+            labeled_dataset_size=24, unlabeled_dataset_size=32,
+            validation_dataset_size=8, learning_rate=3e-3,
+            summary_step_period=100)
+        # untrained baseline: same experiment, zero steps
+        ref = CrowdExperiment(settings.copy(steps_to_run=0))
+        ref.train()
+        untrained = ref.evaluate(use_dnn=True)["MAE"]
+
+        exp = CrowdExperiment(settings)
+        exp.train()
+        trained = exp.evaluate(use_dnn=True)["MAE"]
+        # 400 CPU-scale steps only start differentiating per-image counts
+        # (full convergence is demonstrated at TPU scale — 2500 steps
+        # reach well under the naive-mean MAE); require clear directional
+        # improvement here.
+        assert trained < 0.95 * untrained, (trained, untrained)
+
     def test_labeled_loss_two_heads(self):
         import jax.numpy as jnp
         from srgan_tpu.apps.crowd import CrowdExperiment, sum_pool
