@@ -45,7 +45,8 @@ def _parse_value(raw: str, field_type):
     if field_type is float:
         return float(raw)
     if origin in (tuple, list):
-        return type(origin is tuple and () or [])(json.loads(raw))
+        parsed = json.loads(raw)
+        return tuple(parsed) if origin is tuple else list(parsed)
     return raw
 
 

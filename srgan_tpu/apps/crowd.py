@@ -107,22 +107,41 @@ class CrowdExperiment(Experiment):
     def _prepare_host_pipeline(self):
         """Export splits as .npy and stand up the native C++ readers/
         prefetchers (native/srgan_io.cc): the DataLoader-worker
-        equivalent for larger-than-HBM databases."""
-        import tempfile
+        equivalent for larger-than-HBM databases.
 
+        The .npy exports live in a persistent ``native_cache`` next to
+        the source database (reused across runs; these are the splits the
+        host pipeline exists for BECAUSE they are large) — or, for
+        synthetic data, a temp dir removed at process exit.
+        """
         from srgan_tpu.io import NativeDatasetReader, NativePrefetcher
 
         settings = self.settings
-        cache = tempfile.mkdtemp(prefix="srgan_native_")
+        if settings.crowd_database_path:
+            cache = os.path.join(settings.crowd_database_path,
+                                 "native_cache")
+            os.makedirs(cache, exist_ok=True)
+        else:
+            import atexit
+            import shutil
+            import tempfile
+            cache = tempfile.mkdtemp(prefix="srgan_native_")
+            atexit.register(shutil.rmtree, cache, ignore_errors=True)
         paths = {
             "labeled": os.path.join(cache, "labeled.npy"),
             "density": os.path.join(cache, "density.npy"),
             "unlabeled": os.path.join(cache, "unlabeled.npy"),
         }
-        np.save(paths["labeled"], self.labeled_db.images)
-        np.save(paths["density"],
-                self.labeled_db.density_maps[..., None])
-        np.save(paths["unlabeled"], self.unlabeled_db.images)
+
+        def export(path, array):
+            if (os.path.exists(path)
+                    and os.path.getsize(path) > array.nbytes):
+                return  # cached from a previous run (header + data)
+            np.save(path, array)
+
+        export(paths["labeled"], self.labeled_db.images)
+        export(paths["density"], self.labeled_db.density_maps[..., None])
+        export(paths["unlabeled"], self.unlabeled_db.images)
         labeled_reader = NativeDatasetReader(paths["labeled"])
         self._density_reader = NativeDatasetReader(paths["density"])
         unlabeled_reader = NativeDatasetReader(paths["unlabeled"])
@@ -223,6 +242,12 @@ class CrowdExperiment(Experiment):
             extract_patches(images, offs, jnp.zeros_like(idx),
                             patch_size=p, scale=2.0 / 255.0, shift=-1.0,
                             indices=idx))
+        # Hoisted once: a fresh jit(lambda) per validation pass would
+        # recompile the JointCNN forward every epoch.
+        self._predict_density_d = jax.jit(
+            lambda params, x: self.models.d_apply(params, x)[0][0])
+        self._predict_density_dnn = jax.jit(
+            lambda params, x: self.models.dnn_apply(params, x)[0][0])
 
     def _random_patch_args(self, rng: np.random.Generator, n_images: int,
                            image_hw: Tuple[int, int], batch: int):
@@ -308,16 +333,15 @@ class CrowdExperiment(Experiment):
         offsets = self._grid_offsets((h, w))
         g = len(offsets)
         params = (self.state.dnn_params if use_dnn else self.state.d_params)
-        apply_fn = (self.models.dnn_apply if use_dnn
-                    else self.models.d_apply)
-        predict = jax.jit(lambda pr, x: apply_fn(pr, x)[0])
+        predict = (self._predict_density_dnn if use_dnn
+                   else self._predict_density_d)
         counts = np.zeros(len(db), np.float32)
         images = self._device_data["validation_images"]
         for i in range(len(db)):
             idx = np.full(g, i, np.int32)
             patches = self._eval_patches(images, offsets, idx)
-            density_maps, _ = predict(params, patches)
-            density_maps = np.asarray(jax.device_get(density_maps))
+            density_maps = np.asarray(jax.device_get(
+                predict(params, patches)))
             canvas = np.zeros((h // f, w // f), np.float32)
             weight = np.zeros((h // f, w // f), np.float32)
             for (oy, ox), dm in zip(offsets, density_maps):

@@ -47,8 +47,22 @@ def epoch_batches(dataset: ArrayDataset, batch_size: int,
                   drop_last: bool = True
                   ) -> Iterator[Tuple[np.ndarray, ...]]:
     """One shuffled epoch of static-shape batches (drop_last keeps shapes
-    static for jit — SURVEY.md §7 design stance)."""
+    static for jit — SURVEY.md §7 design stance).
+
+    Datasets smaller than one batch — SR-GAN's core small-labeled-set
+    regime — yield a single batch sampled with replacement instead of
+    nothing (an empty epoch would stall the training loop forever).
+    """
     n = len(dataset)
+    if n == 0:
+        raise ValueError("cannot batch an empty dataset")
+    if n < batch_size:
+        idx = rng.choice(n, size=batch_size, replace=True)
+        if dataset.labels is None:
+            yield (dataset.examples[idx],)
+        else:
+            yield dataset.examples[idx], dataset.labels[idx]
+        return
     order = rng.permutation(n) if shuffle else np.arange(n)
     limit = (n // batch_size) * batch_size if drop_last else n
     for start in range(0, limit, batch_size):

@@ -42,7 +42,8 @@ def load_driving_recording(frames_directory: str, csv_path: str,
                 continue  # header
             rows.append((row[0], angle))
     if limit:
-        rows = rows[:limit + frame_stack]
+        # limit examples need limit + (frame_stack - 1) source frames
+        rows = rows[:limit + frame_stack - 1]
 
     frames, angles = [], []
     for name, angle in rows:

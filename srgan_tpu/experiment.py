@@ -134,22 +134,27 @@ class Experiment:
         """Full trial: the reference's `Experiment.train()` call stack
         (SURVEY.md §3.1), with the hot loop fused under jit."""
         settings = self.settings
+        previous_debug_nans = jax.config.jax_debug_nans
         if settings.debug_nans:
             jax.config.update("jax_debug_nans", True)
-        self.trial_directory = make_trial_directory(settings)
-        self.prepare_summary_writers()
-        seed_all(settings.seed)
-        self.dataset_setup()
-        models, d_params, g_params, dnn_params = self.model_setup()
-        self.models = models
-        self.state = init_train_state(settings, d_params, g_params,
-                                      dnn_params)
-        self.prepare_mesh()
-        self.prepare_train_step()
-        self.load_models()
-        self.training_loop()
-        self.save_models()
-        return self.state
+        try:
+            self.trial_directory = make_trial_directory(settings)
+            self.prepare_summary_writers()
+            seed_all(settings.seed)
+            self.dataset_setup()
+            models, d_params, g_params, dnn_params = self.model_setup()
+            self.models = models
+            self.state = init_train_state(settings, d_params, g_params,
+                                          dnn_params)
+            self.prepare_mesh()
+            self.prepare_train_step()
+            self.load_models()
+            self.training_loop()
+            self.save_models()
+            return self.state
+        finally:
+            if settings.debug_nans:
+                jax.config.update("jax_debug_nans", previous_debug_nans)
 
     def training_loop(self) -> None:
         """Epochs over the labeled loader zipped with a cycling unlabeled
@@ -165,19 +170,24 @@ class Experiment:
             total_steps = settings.steps_to_run
 
         profile_range = settings.profile_step_range
+        profiling = False
         last_summary_time = None
         last_summary_step = step
         epoch = step // steps_per_epoch
         epochs = self.epoch_batch_iterators()
         while step < total_steps:
             for labeled_x, labels, unlabeled_x in next(epochs):
-                if profile_range and step == profile_range[0]:
+                if (profile_range and not profiling
+                        and step == profile_range[0]):
                     jax.profiler.start_trace(
                         os.path.join(self.trial_directory, "profile"))
+                    profiling = True
                 self.state, step_metrics = self._step(labeled_x, labels,
                                                       unlabeled_x, keys)
-                if profile_range and step == profile_range[1]:
+                # [start, end): stop once the step numbered end-1 has run.
+                if profiling and step + 1 >= profile_range[1]:
                     jax.profiler.stop_trace()
+                    profiling = False
                 self.gan_summary_writer.step = step
                 self.dnn_summary_writer.step = step
                 if self.gan_summary_writer.is_summary_step():
@@ -210,6 +220,8 @@ class Experiment:
             epoch += 1
             if not settings.validation_step_period:
                 self.validation_summaries(epoch=epoch, step=step)
+        if profiling:  # run ended inside the requested profile window
+            jax.profiler.stop_trace()
 
     def _step(self, labeled_x, labels, unlabeled_x, keys):
         if self.settings.dnn_only:

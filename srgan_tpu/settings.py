@@ -83,7 +83,6 @@ class Settings:
     # Scale applied to the contrasting distance before negation:
     # 'log' → -log(d + 1) (SURVEY §2: "log-scaled negative distance").
     contrasting_distance_function: str = "log"
-    normalize_feature_norm: bool = False  # provisional reference option [L]
 
     # Run the labeled/unlabeled/fake D forwards as one concatenated 3B
     # batch (identical math under per-example normalization; better MXU
@@ -103,11 +102,8 @@ class Settings:
 
     # ------------------------------------------------------------- app extras
     # Crowd:
-    crowd_database: str = "ucf_qnrf"   # preprocessor to use for raw data
     crowd_database_path: Optional[str] = None  # dir of {split}.npz; None → synthetic
     image_patch_size: int = 224
-    label_patch_size: int = 224
-    map_directory_name: str = "density_maps"
     crowd_image_height: int = 384
     crowd_image_width: int = 512
     crowd_sigma: float = 8.0

@@ -131,8 +131,14 @@ def make_gan_train_step(
         models use per-example normalization (GroupNorm), never batch
         statistics — the property the reference's BatchNorm forced it to
         work around with freeze tricks (SURVEY.md §7 hard part (a)).
+
+        Fusion requires equal stream batch sizes (the feature slices
+        assume it); with differing labeled/unlabeled batches it silently
+        falls back to per-stream forwards — still correct, just unfused.
         """
-        if settings.fuse_discriminator_streams:
+        if (settings.fuse_discriminator_streams
+                and labeled_x.shape[0] == unlabeled_x.shape[0]
+                and fake.shape[0] == unlabeled_x.shape[0]):
             b = labeled_x.shape[0]
             stacked = jnp.concatenate([labeled_x, unlabeled_x, fake],
                                       axis=0)

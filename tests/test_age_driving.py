@@ -75,6 +75,24 @@ class TestDrivingData:
         np.testing.assert_allclose(labels, [0.1, 0.2, 0.3, 0.4], rtol=1e-5)
         assert examples.min() >= -1.0 and examples.max() <= 1.0
 
+    def test_limit_yields_exactly_limit_examples(self, tmp_path):
+        frames = tmp_path / "frames"
+        frames.mkdir()
+        rng = np.random.default_rng(0)
+        rows = []
+        for i in range(10):
+            name = f"f{i}.jpg"
+            Image.fromarray(rng.integers(0, 255, (8, 8, 3)).astype(
+                np.uint8)).save(frames / name)
+            rows.append(f"{name},{0.1 * i}\n")
+        csv_path = tmp_path / "steering.csv"
+        csv_path.write_text("".join(rows))
+        for stack in (1, 2):
+            examples, labels = load_driving_recording(
+                str(frames), str(csv_path), image_size=8,
+                frame_stack=stack, limit=5)
+            assert len(examples) == 5, (stack, len(examples))
+
     def test_synthetic_driving_signal(self):
         examples, angles = synthetic_driving_examples(32, image_size=32,
                                                       seed=0)

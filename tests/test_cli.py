@@ -43,6 +43,13 @@ def test_unknown_setting_lists_known(tmp_path):
         main(["coefficient", "--bogus", "1"])
 
 
+def test_tuple_setting_parses_to_tuple():
+    from srgan_tpu.__main__ import _parse_value
+    from typing import Optional, Tuple
+    value = _parse_value("[1, 5]", Optional[Tuple[int, int]])
+    assert value == (1, 5) and isinstance(value, tuple)
+
+
 def test_equals_form_and_none_value(tmp_path):
     rc = main(["coefficient", "--load_model_path=none"]
               + _common_args(tmp_path))

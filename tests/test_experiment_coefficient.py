@@ -62,6 +62,17 @@ def test_checkpoint_resume_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_labeled_set_smaller_than_batch_terminates(tmp_path):
+    """Regression: labeled < batch must sample with replacement, not spin
+    forever on an empty epoch (the README quick-start config hits this)."""
+    settings = _settings(tmp_path, batch_size=32, labeled_dataset_size=10,
+                         steps_to_run=4)
+    exp = CoefficientExperiment(settings)
+    state = exp.train()
+    import jax
+    assert int(jax.device_get(state.step)) == 4
+
+
 def test_training_improves_over_untrained(tmp_path):
     settings = _settings(tmp_path, steps_to_run=300,
                          labeled_dataset_size=128, learning_rate=3e-3,
