@@ -92,21 +92,7 @@ def main(argv=None) -> int:
     if args.evaluate_only:
         if not settings.load_model_path:
             raise SystemExit("--evaluate_only requires --load_model_path")
-        experiment.trial_directory = settings.load_model_path
-        from srgan_tpu.utils.summary import SummaryWriter
-        import os
-        experiment.dnn_summary_writer = SummaryWriter(
-            os.path.join(settings.load_model_path, "eval_DNN"))
-        experiment.gan_summary_writer = SummaryWriter(
-            os.path.join(settings.load_model_path, "eval_GAN"))
-        experiment.dataset_setup()
-        models, d, g, dnn = experiment.model_setup()
-        experiment.models = models
-        from srgan_tpu.train import init_train_state
-        experiment.state = init_train_state(settings, d, g, dnn)
-        experiment.prepare_mesh()
-        experiment.prepare_train_step()
-        experiment.load_models()
+        experiment.prepare_for_evaluation(settings.load_model_path)
         print(json.dumps(experiment.evaluate()))
         return 0
     experiment.train()

@@ -10,11 +10,10 @@ from __future__ import annotations
 from typing import Any, Tuple
 
 import jax
-import jax.numpy as jnp
 
+from srgan_tpu.apps.common import setup_image_models
 from srgan_tpu.data.age import age_datasets
 from srgan_tpu.experiment import Experiment
-from srgan_tpu.models.dcgan import ConvRegressor, DCGANGenerator
 from srgan_tpu.train import ModelBundle
 from srgan_tpu.utils.seeding import key_for
 
@@ -27,27 +26,8 @@ class AgeExperiment(Experiment):
          self.validation_dataset) = age_datasets(self.settings)
 
     def model_setup(self) -> Tuple[ModelBundle, Any, Any, Any]:
-        settings = self.settings
-        dtype = jnp.dtype(settings.compute_dtype)
-        size = settings.age_image_size
-        width = settings.model_base_width
-        d_model = ConvRegressor(base_width=width,
-                                feature_size=16 * width, dtype=dtype)
-        dnn_model = ConvRegressor(base_width=width,
-                                  feature_size=16 * width, dtype=dtype)
-        g_model = DCGANGenerator(image_size=size, base_width=width,
-                                 latent_dimension=settings.latent_dimension,
-                                 dtype=dtype)
-        init_key = key_for(settings.seed, "init")
-        k_d, k_g, k_dnn = jax.random.split(init_key, 3)
-        image = jnp.zeros((1, size, size, 3), jnp.float32)
-        z = jnp.zeros((1, settings.latent_dimension), jnp.float32)
-        d_params = d_model.init(k_d, image)
-        g_params = g_model.init(k_g, z)
-        dnn_params = dnn_model.init(k_dnn, image)
-        models = ModelBundle(d_apply=d_model.apply, g_apply=g_model.apply,
-                             dnn_apply=dnn_model.apply)
-        return models, d_params, g_params, dnn_params
+        return setup_image_models(self.settings,
+                                  self.settings.age_image_size)
 
     def validation_summaries(self, epoch: int, step: int) -> None:
         super().validation_summaries(epoch, step)

@@ -1,0 +1,42 @@
+"""Shared scaffolding for the image regression apps (age / driving).
+
+Both bind the same trio — conv regressor D, conv regressor DNN baseline,
+DCGAN generator — differing only in image size and channel count
+(SURVEY.md §7 layer 3: the image-app scaffolding the driving app reuses).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from srgan_tpu.models.dcgan import ConvRegressor, DCGANGenerator
+from srgan_tpu.train import ModelBundle
+from srgan_tpu.utils.seeding import key_for
+
+
+def setup_image_models(settings, image_size: int, channels: int = 3
+                       ) -> Tuple[ModelBundle, Any, Any, Any]:
+    """(models, d_params, g_params, dnn_params) for a conv-regression app."""
+    dtype = jnp.dtype(settings.compute_dtype)
+    width = settings.model_base_width
+    d_model = ConvRegressor(base_width=width, feature_size=16 * width,
+                            dtype=dtype)
+    dnn_model = ConvRegressor(base_width=width, feature_size=16 * width,
+                              dtype=dtype)
+    g_model = DCGANGenerator(image_size=image_size, channels=channels,
+                             base_width=width,
+                             latent_dimension=settings.latent_dimension,
+                             dtype=dtype)
+    init_key = key_for(settings.seed, "init")
+    k_d, k_g, k_dnn = jax.random.split(init_key, 3)
+    image = jnp.zeros((1, image_size, image_size, channels), jnp.float32)
+    z = jnp.zeros((1, settings.latent_dimension), jnp.float32)
+    d_params = d_model.init(k_d, image)
+    g_params = g_model.init(k_g, z)
+    dnn_params = dnn_model.init(k_dnn, image)
+    models = ModelBundle(d_apply=d_model.apply, g_apply=g_model.apply,
+                         dnn_apply=dnn_model.apply)
+    return models, d_params, g_params, dnn_params

@@ -129,6 +129,30 @@ class Experiment:
         step = int(jax.device_get(self.state.step))
         return checkpoint.save_state(self.state, self.trial_directory, step)
 
+    def prepare_for_evaluation(self, trial_directory: str
+                               ) -> SRGANTrainState:
+        """Set up everything needed to evaluate a saved trial without
+        training: datasets, models, mesh, jitted eval fns, restored state.
+
+        ``trial_directory`` doubles as the checkpoint source (same
+        semantics as ``settings.load_model_path``).
+        """
+        self.trial_directory = trial_directory
+        period = self.settings.summary_step_period
+        self.dnn_summary_writer = SummaryWriter(
+            os.path.join(trial_directory, "eval_DNN"), period)
+        self.gan_summary_writer = SummaryWriter(
+            os.path.join(trial_directory, "eval_GAN"), period)
+        self.dataset_setup()
+        models, d_params, g_params, dnn_params = self.model_setup()
+        self.models = models
+        self.state = init_train_state(self.settings, d_params, g_params,
+                                      dnn_params)
+        self.prepare_mesh()
+        self.prepare_train_step()
+        self.state = checkpoint.restore_state(self.state, trial_directory)
+        return self.state
+
     # ------------------------------------------------------------- training
     def train(self) -> SRGANTrainState:
         """Full trial: the reference's `Experiment.train()` call stack
@@ -255,8 +279,10 @@ class Experiment:
             yield prefetch_to_device(batches, sharding)
 
     def write_step_summaries(self, step_metrics: Dict[str, Any]) -> None:
-        host = {k: float(jax.device_get(v))
-                for k, v in step_metrics.items()}
+        # One transfer for the whole dict: per-metric device_get would be
+        # one host↔device round trip each (expensive over a remote chip).
+        host = {k: float(v)
+                for k, v in jax.device_get(step_metrics).items()}
         for key, value in host.items():
             writer = (self.dnn_summary_writer if key.startswith("dnn")
                       else self.gan_summary_writer)
