@@ -67,16 +67,26 @@ class CrowdExperiment(Experiment):
         make = functools.partial(
             synthetic_crowd_database, height=h, width=w,
             max_heads=settings.crowd_synthetic_max_heads,
-            sigma=settings.crowd_sigma)
+            sigma=settings.crowd_sigma,
+            label_type=settings.crowd_label_type)
         return (make(settings.labeled_dataset_size, seed=settings.seed),
                 make(settings.unlabeled_dataset_size,
                      seed=settings.seed + 1),
                 make(settings.validation_dataset_size,
                      seed=settings.seed + 2))
 
+    @property
+    def uses_aux_target(self) -> bool:
+        return self.settings.crowd_label_type != "density"
+
     def dataset_setup(self) -> None:
         self.labeled_db, self.unlabeled_db, self.validation_db = \
             self._load_databases()
+        if self.uses_aux_target and self.labeled_db.aux_maps is None:
+            raise ValueError(
+                f"crowd_label_type={self.settings.crowd_label_type!r} "
+                f"needs a database preprocessed with the matching "
+                f"--label-type (aux_maps missing)")
         # Experiment bookkeeping (steps_per_epoch etc.) sees lengths only.
         self.labeled_dataset = self.labeled_db
         self.unlabeled_dataset = self.unlabeled_db
@@ -97,10 +107,17 @@ class CrowdExperiment(Experiment):
             "validation_images": put(self.validation_db.images),
         }
         if not self.settings.crowd_host_pipeline:
+            # With an aux training target the label tensor carries BOTH
+            # maps ([..., 0] density for counts, [..., 1] aux target) so
+            # one kernel pass extracts consistent patches of each.
+            if self.uses_aux_target:
+                labels = np.stack([self.labeled_db.density_maps,
+                                   self.labeled_db.aux_maps], axis=-1)
+            else:
+                labels = self.labeled_db.density_maps[..., None]
             self._device_data.update({
                 "labeled_images": put(self.labeled_db.images),
-                "labeled_density": put(
-                    self.labeled_db.density_maps[..., None]),
+                "labeled_density": put(labels),
                 "unlabeled_images": put(self.unlabeled_db.images),
             })
 
@@ -139,8 +156,13 @@ class CrowdExperiment(Experiment):
                 return  # cached from a previous run (header + data)
             np.save(path, array)
 
+        if self.uses_aux_target:
+            labels = np.stack([self.labeled_db.density_maps,
+                               self.labeled_db.aux_maps], axis=-1)
+        else:
+            labels = self.labeled_db.density_maps[..., None]
         export(paths["labeled"], self.labeled_db.images)
-        export(paths["density"], self.labeled_db.density_maps[..., None])
+        export(paths["density"], labels)
         export(paths["unlabeled"], self.unlabeled_db.images)
         labeled_reader = NativeDatasetReader(paths["labeled"])
         self._density_reader = NativeDatasetReader(paths["density"])
@@ -183,19 +205,31 @@ class CrowdExperiment(Experiment):
         """Two-head joint loss (reference: crowd joint density+count losses
         [H]; exact count-map target is provisional, see JointCNN docs).
 
-        predictions: (density_map [B,h,w], count_map [B,h,w]) at 1/4 res;
-        labels: full-resolution density patches [B, P, P].
+        predictions: (density_map [B,h,w], count_map [B,h,w]) at 1/4 res.
+        labels: density patches [B, P, P], or [B, P, P, 2] carrying
+        (density, aux target) when ``crowd_label_type`` is knn/iknn — the
+        map head then regresses the aux map (mean-pooled: kNN/iKNN maps
+        are value-like, not mass-like) while counts still come from the
+        density channel.
         """
         settings = self.settings
+        aux_mode = self.uses_aux_target
 
         def loss_fn(predictions, labels):
             density_map, count_map = predictions
-            target = sum_pool(labels, DENSITY_DOWNSAMPLE)
-            density_loss = jnp.mean(jnp.square(density_map - target))
-            true_count = jnp.sum(target, axis=(1, 2))
+            if aux_mode:
+                density_ch, target_ch = labels[..., 0], labels[..., 1]
+                factor = DENSITY_DOWNSAMPLE ** 2
+                map_target = sum_pool(target_ch,
+                                      DENSITY_DOWNSAMPLE) / factor
+            else:
+                density_ch = labels
+                map_target = sum_pool(labels, DENSITY_DOWNSAMPLE)
+            map_loss = jnp.mean(jnp.square(density_map - map_target))
+            true_count = jnp.sum(density_ch, axis=(1, 2))
             pred_count = jnp.sum(count_map, axis=(1, 2))
             count_loss = jnp.mean(jnp.square(pred_count - true_count))
-            return (density_loss * settings.density_loss_multiplier
+            return (map_loss * settings.density_loss_multiplier
                     + count_loss * settings.count_loss_multiplier)
 
         return loss_fn
@@ -213,13 +247,15 @@ class CrowdExperiment(Experiment):
             patches = extract_patches(
                 labeled_images, offs, flips, patch_size=p,
                 scale=2.0 / 255.0, shift=-1.0, indices=idx)
-            density = extract_patches(
-                labeled_density, offs, flips, patch_size=p,
-                indices=idx)[..., 0]
+            # label channels: [density] or [density, aux target]
+            labels = extract_patches(
+                labeled_density, offs, flips, patch_size=p, indices=idx)
+            if labels.shape[-1] == 1:
+                labels = labels[..., 0]
             upatches = extract_patches(
                 unlabeled_images, uoffs, uflips, patch_size=p,
                 scale=2.0 / 255.0, shift=-1.0, indices=uidx)
-            return patches, density, upatches
+            return patches, labels, upatches
 
         if self.mesh.size > 1:
             # Multi-chip: each device samples ITS shard of the batch from
@@ -243,11 +279,14 @@ class CrowdExperiment(Experiment):
                             patch_size=p, scale=2.0 / 255.0, shift=-1.0,
                             indices=idx))
         # Hoisted once: a fresh jit(lambda) per validation pass would
-        # recompile the JointCNN forward every epoch.
+        # recompile the JointCNN forward every epoch. With an aux training
+        # target the density head regresses the aux map, so full-image
+        # counts come from the COUNT head instead.
+        head = 1 if self.uses_aux_target else 0
         self._predict_density_d = jax.jit(
-            lambda params, x: self.models.d_apply(params, x)[0][0])
+            lambda params, x: self.models.d_apply(params, x)[0][head])
         self._predict_density_dnn = jax.jit(
-            lambda params, x: self.models.dnn_apply(params, x)[0][0])
+            lambda params, x: self.models.dnn_apply(params, x)[0][head])
 
     def _random_patch_args(self, rng: np.random.Generator, n_images: int,
                            image_hw: Tuple[int, int], batch: int):
@@ -300,10 +339,12 @@ class CrowdExperiment(Experiment):
             for _ in range(steps):
                 patches, idx, offs, flips = \
                     self._labeled_prefetcher.next_with_params()
-                density = self._density_reader.gather_crops(
+                labels = self._density_reader.gather_crops(
                     idx, offs, flips, self.settings.image_patch_size)
+                if labels.shape[-1] == 1:
+                    labels = labels[..., 0]
                 upatches, _ = self._unlabeled_prefetcher.next()
-                yield patches, density[..., 0], upatches
+                yield patches, labels, upatches
 
         while True:
             yield prefetch_to_device(host_batches(), sharding)

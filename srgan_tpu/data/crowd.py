@@ -302,20 +302,29 @@ def main(argv=None) -> int:
 
 def synthetic_crowd_database(count: int, height: int = 96, width: int = 128,
                              max_heads: int = 64, sigma: float = 4.0,
-                             seed: int = 0) -> CrowdDatabase:
+                             seed: int = 0,
+                             label_type: str = "density",
+                             knn_k: int = 1) -> CrowdDatabase:
     """Procedural crowd-like data with real signal: each head renders a
     bright blob into the image, so density/count are learnable from pixels.
     Used by tests and the bench harness (no real UCF-QNRF on this machine).
+    ``label_type`` 'knn'/'iknn' additionally fills ``aux_maps``.
     """
     rng = np.random.default_rng(seed)
     images = np.zeros((count, height, width, 3), np.float32)
     densities = np.zeros((count, height, width), np.float32)
+    aux = (np.zeros((count, height, width), np.float32)
+           if label_type != "density" else None)
     counts = np.zeros((count,), np.float32)
     yy, xx = np.mgrid[0:height, 0:width].astype(np.float32)
     for i in range(count):
         n = int(rng.integers(0, max_heads + 1))
         heads = np.stack([rng.uniform(0, height, n),
                           rng.uniform(0, width, n)], axis=-1)
+        if label_type == "knn":
+            aux[i] = generate_knn_map(heads, height, width, knn_k)
+        elif label_type == "iknn":
+            aux[i] = generate_iknn_map(heads, height, width, knn_k)
         blob = np.zeros((height, width), np.float32)
         for hy, hx in heads:
             blob += np.exp(-((yy - hy) ** 2 + (xx - hx) ** 2)
@@ -329,7 +338,8 @@ def synthetic_crowd_database(count: int, height: int = 96, width: int = 128,
         densities[i] = generate_density_label(heads, height, width, sigma)
         counts[i] = float(n)
     return CrowdDatabase(images=images.astype(np.uint8),
-                         density_maps=densities, head_counts=counts)
+                         density_maps=densities, head_counts=counts,
+                         aux_maps=aux)
 
 
 if __name__ == "__main__":

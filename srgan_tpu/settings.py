@@ -103,6 +103,11 @@ class Settings:
     # ------------------------------------------------------------- app extras
     # Crowd:
     crowd_database_path: Optional[str] = None  # dir of {split}.npz; None → synthetic
+    # Map the density head regresses: 'density' (Gaussian splats), or the
+    # crowd-paper branch's 'knn'/'iknn' aux maps (requires a database
+    # preprocessed with the matching --label-type). Counts always come
+    # from the density maps.
+    crowd_label_type: str = "density"
     image_patch_size: int = 224
     crowd_image_height: int = 384
     crowd_image_width: int = 512

@@ -213,6 +213,20 @@ class TestCrowdExperiment:
         np.testing.assert_allclose(np.asarray(sharded[0]),
                                    np.asarray(want), rtol=1e-6)
 
+    def test_end_to_end_iknn_target(self, tmp_path):
+        """crowd_label_type='iknn': the map head regresses the iKNN map,
+        counts come from the count head; trains and evaluates end-to-end."""
+        import jax
+        from srgan_tpu.apps.crowd import CrowdExperiment
+
+        exp = CrowdExperiment(self._settings(tmp_path,
+                                             crowd_label_type="iknn"))
+        state = exp.train()
+        assert int(jax.device_get(state.step)) == 3
+        assert exp.labeled_db.aux_maps is not None
+        result = exp.evaluate()
+        assert np.isfinite(result["MAE"])
+
     def test_end_to_end_host_pipeline(self, tmp_path):
         """Same trial through the native C++ input runtime."""
         import jax
