@@ -364,9 +364,14 @@ class CrowdExperiment(Experiment):
             xs.append(w - p)
         return np.array([(y, x) for y in ys for x in xs], np.int32)
 
+    # Images evaluated per device call: one call per image would cost a
+    # host↔device round trip each (expensive over a remote chip).
+    EVAL_CHUNK_IMAGES = 8
+
     def predict_image_counts(self, use_dnn: bool = False) -> np.ndarray:
         """Full-image counts for the validation split: grid patches →
-        density maps → overlap-averaged canvas → Σ."""
+        predicted maps → overlap-averaged canvas → Σ. Several images'
+        grids are batched into each device call."""
         p = self.settings.image_patch_size
         f = DENSITY_DOWNSAMPLE
         db = self.validation_db
@@ -378,18 +383,24 @@ class CrowdExperiment(Experiment):
                    else self._predict_density_d)
         counts = np.zeros(len(db), np.float32)
         images = self._device_data["validation_images"]
-        for i in range(len(db)):
-            idx = np.full(g, i, np.int32)
-            patches = self._eval_patches(images, offsets, idx)
-            density_maps = np.asarray(jax.device_get(
-                predict(params, patches)))
-            canvas = np.zeros((h // f, w // f), np.float32)
-            weight = np.zeros((h // f, w // f), np.float32)
-            for (oy, ox), dm in zip(offsets, density_maps):
-                sy, sx = oy // f, ox // f
-                canvas[sy:sy + p // f, sx:sx + p // f] += dm
-                weight[sy:sy + p // f, sx:sx + p // f] += 1.0
-            counts[i] = float((canvas / np.maximum(weight, 1.0)).sum())
+        chunk = max(1, self.EVAL_CHUNK_IMAGES)
+        for start in range(0, len(db), chunk):
+            image_ids = np.arange(start, min(start + chunk, len(db)))
+            k = len(image_ids)
+            idx = np.repeat(image_ids, g).astype(np.int32)
+            offs = np.tile(offsets, (k, 1))
+            patches = self._eval_patches(images, offs, idx)
+            maps = np.asarray(jax.device_get(
+                predict(params, patches))).reshape(k, g, p // f, p // f)
+            for j, i in enumerate(image_ids):
+                canvas = np.zeros((h // f, w // f), np.float32)
+                weight = np.zeros((h // f, w // f), np.float32)
+                for (oy, ox), dm in zip(offsets, maps[j]):
+                    sy, sx = oy // f, ox // f
+                    canvas[sy:sy + p // f, sx:sx + p // f] += dm
+                    weight[sy:sy + p // f, sx:sx + p // f] += 1.0
+                counts[i] = float(
+                    (canvas / np.maximum(weight, 1.0)).sum())
         return counts
 
     def validation_summaries(self, epoch: int, step: int) -> None:
