@@ -80,17 +80,34 @@ class CrowdExperiment(Experiment):
         return self.settings.crowd_label_type != "density"
 
     def dataset_setup(self) -> None:
+        label_type = self.settings.crowd_label_type
+        if label_type not in ("density", "knn", "iknn"):
+            raise ValueError(f"unknown crowd_label_type {label_type!r}; "
+                             f"choose density, knn or iknn")
         self.labeled_db, self.unlabeled_db, self.validation_db = \
             self._load_databases()
-        if self.uses_aux_target and self.labeled_db.aux_maps is None:
-            raise ValueError(
-                f"crowd_label_type={self.settings.crowd_label_type!r} "
-                f"needs a database preprocessed with the matching "
-                f"--label-type (aux_maps missing)")
+        if self.uses_aux_target:
+            if self.labeled_db.aux_maps is None:
+                raise ValueError(
+                    f"crowd_label_type={label_type!r} needs a database "
+                    f"preprocessed with the matching --label-type "
+                    f"(aux_maps missing)")
+            if self.labeled_db.label_type != label_type:
+                raise ValueError(
+                    f"crowd_label_type={label_type!r} but the database "
+                    f"was preprocessed with "
+                    f"--label-type {self.labeled_db.label_type!r}")
         # Experiment bookkeeping (steps_per_epoch etc.) sees lengths only.
         self.labeled_dataset = self.labeled_db
         self.unlabeled_dataset = self.unlabeled_db
         self.validation_dataset = None  # crowd has its own validation path
+
+    def _stacked_labels(self) -> np.ndarray:
+        """Label tensor: [N,H,W,1] density, or [N,H,W,2] (density, aux)."""
+        if self.uses_aux_target:
+            return np.stack([self.labeled_db.density_maps,
+                             self.labeled_db.aux_maps], axis=-1)
+        return self.labeled_db.density_maps[..., None]
 
     def _upload_databases(self) -> None:
         """Place split arrays in device HBM once (float32; raw 0..255).
@@ -110,14 +127,9 @@ class CrowdExperiment(Experiment):
             # With an aux training target the label tensor carries BOTH
             # maps ([..., 0] density for counts, [..., 1] aux target) so
             # one kernel pass extracts consistent patches of each.
-            if self.uses_aux_target:
-                labels = np.stack([self.labeled_db.density_maps,
-                                   self.labeled_db.aux_maps], axis=-1)
-            else:
-                labels = self.labeled_db.density_maps[..., None]
             self._device_data.update({
                 "labeled_images": put(self.labeled_db.images),
-                "labeled_density": put(labels),
+                "labeled_density": put(self._stacked_labels()),
                 "unlabeled_images": put(self.unlabeled_db.images),
             })
 
@@ -144,26 +156,25 @@ class CrowdExperiment(Experiment):
             import tempfile
             cache = tempfile.mkdtemp(prefix="srgan_native_")
             atexit.register(shutil.rmtree, cache, ignore_errors=True)
+        # Label exports are keyed by label type (the layout/content depends
+        # on it — a stale density.npy from another label type must never
+        # be reused), and built lazily only on cache miss (the stack can
+        # be GBs on exactly the larger-than-HBM path this serves).
+        label_name = f"labels_{self.settings.crowd_label_type}.npy"
         paths = {
             "labeled": os.path.join(cache, "labeled.npy"),
-            "density": os.path.join(cache, "density.npy"),
+            "density": os.path.join(cache, label_name),
             "unlabeled": os.path.join(cache, "unlabeled.npy"),
         }
 
-        def export(path, array):
-            if (os.path.exists(path)
-                    and os.path.getsize(path) > array.nbytes):
-                return  # cached from a previous run (header + data)
-            np.save(path, array)
+        def export(path, make_array):
+            if os.path.exists(path):
+                return  # cached from a previous run
+            np.save(path, make_array())
 
-        if self.uses_aux_target:
-            labels = np.stack([self.labeled_db.density_maps,
-                               self.labeled_db.aux_maps], axis=-1)
-        else:
-            labels = self.labeled_db.density_maps[..., None]
-        export(paths["labeled"], self.labeled_db.images)
-        export(paths["density"], labels)
-        export(paths["unlabeled"], self.unlabeled_db.images)
+        export(paths["labeled"], lambda: self.labeled_db.images)
+        export(paths["density"], self._stacked_labels)
+        export(paths["unlabeled"], lambda: self.unlabeled_db.images)
         labeled_reader = NativeDatasetReader(paths["labeled"])
         self._density_reader = NativeDatasetReader(paths["density"])
         unlabeled_reader = NativeDatasetReader(paths["unlabeled"])

@@ -98,6 +98,9 @@ class CrowdDatabase:
     # Optional alternative regression targets (kNN / iKNN maps of the
     # crowd-paper branch [M]); same [N, H, W] shape when present.
     aux_maps: Optional[np.ndarray] = None
+    # What aux_maps contains ('density' when absent) — persisted so a
+    # label-type mismatch between database and Settings is detectable.
+    label_type: str = "density"
 
     def __post_init__(self):
         assert self.images.ndim == 4 and self.images.shape[3] == 3
@@ -114,7 +117,8 @@ class CrowdDatabase:
     def save(self, path: str) -> None:
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         arrays = dict(images=self.images, density_maps=self.density_maps,
-                      head_counts=self.head_counts)
+                      head_counts=self.head_counts,
+                      label_type=np.asarray(self.label_type))
         if self.aux_maps is not None:
             arrays["aux_maps"] = self.aux_maps
         np.savez_compressed(path, **arrays)
@@ -126,7 +130,9 @@ class CrowdDatabase:
                    density_maps=data["density_maps"],
                    head_counts=data["head_counts"],
                    aux_maps=(data["aux_maps"]
-                             if "aux_maps" in data else None))
+                             if "aux_maps" in data else None),
+                   label_type=(str(data["label_type"])
+                               if "label_type" in data else "density"))
 
 
 # --------------------------------------------------------------------------
@@ -203,7 +209,8 @@ class DatabasePreprocessor:
             else np.zeros((0, self.height, self.width), np.float32),
             head_counts=np.asarray(counts, np.float32),
             aux_maps=(np.stack(aux).astype(np.float32)
-                      if aux else None))
+                      if aux else None),
+            label_type=self.label_type)
         if output_path:
             database.save(output_path)
         return database
@@ -310,6 +317,9 @@ def synthetic_crowd_database(count: int, height: int = 96, width: int = 128,
     Used by tests and the bench harness (no real UCF-QNRF on this machine).
     ``label_type`` 'knn'/'iknn' additionally fills ``aux_maps``.
     """
+    if label_type not in ("density", "knn", "iknn"):
+        raise ValueError(f"unknown label_type {label_type!r}; "
+                         f"choose density, knn or iknn")
     rng = np.random.default_rng(seed)
     images = np.zeros((count, height, width, 3), np.float32)
     densities = np.zeros((count, height, width), np.float32)
@@ -339,7 +349,7 @@ def synthetic_crowd_database(count: int, height: int = 96, width: int = 128,
         counts[i] = float(n)
     return CrowdDatabase(images=images.astype(np.uint8),
                          density_maps=densities, head_counts=counts,
-                         aux_maps=aux)
+                         aux_maps=aux, label_type=label_type)
 
 
 if __name__ == "__main__":
