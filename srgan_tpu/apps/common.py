@@ -22,14 +22,15 @@ def setup_image_models(settings, image_size: int, channels: int = 3
     """(models, d_params, g_params, dnn_params) for a conv-regression app."""
     dtype = jnp.dtype(settings.compute_dtype)
     width = settings.model_base_width
+    fast = settings.fast_norm
     d_model = ConvRegressor(base_width=width, feature_size=16 * width,
-                            dtype=dtype)
+                            dtype=dtype, fast_norm=fast)
     dnn_model = ConvRegressor(base_width=width, feature_size=16 * width,
-                              dtype=dtype)
+                              dtype=dtype, fast_norm=fast)
     g_model = DCGANGenerator(image_size=image_size, channels=channels,
                              base_width=width,
                              latent_dimension=settings.latent_dimension,
-                             dtype=dtype)
+                             dtype=dtype, fast_norm=fast)
     init_key = key_for(settings.seed, "init")
     k_d, k_g, k_dnn = jax.random.split(init_key, 3)
     image = jnp.zeros((1, image_size, image_size, channels), jnp.float32)

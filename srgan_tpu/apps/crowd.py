@@ -195,11 +195,13 @@ class CrowdExperiment(Experiment):
         dtype = jnp.dtype(settings.compute_dtype)
         p = settings.image_patch_size
         w = settings.model_base_width
-        d_model = JointCNN(base_width=w, dtype=dtype)
-        dnn_model = JointCNN(base_width=w, dtype=dtype)
+        fast = settings.fast_norm
+        d_model = JointCNN(base_width=w, dtype=dtype, fast_norm=fast)
+        dnn_model = JointCNN(base_width=w, dtype=dtype, fast_norm=fast)
         g_model = CrowdDCGenerator(
             image_size=p, base_width=w,
-            latent_dimension=settings.latent_dimension, dtype=dtype)
+            latent_dimension=settings.latent_dimension, dtype=dtype,
+            fast_norm=fast)
         init_key = key_for(settings.seed, "init")
         k_d, k_g, k_dnn = jax.random.split(init_key, 3)
         patch = jnp.zeros((1, p, p, 3), jnp.float32)

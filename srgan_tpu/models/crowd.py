@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from srgan_tpu.models.dcgan import DCGANGenerator
+from srgan_tpu.models.dcgan import DCGANGenerator, group_norm
 
 
 class JointCNN(nn.Module):
@@ -32,6 +32,7 @@ class JointCNN(nn.Module):
     """
     base_width: int = 64
     dtype: jnp.dtype = jnp.float32
+    fast_norm: bool = False
 
     @nn.compact
     def __call__(self, patches: jax.Array
@@ -42,12 +43,12 @@ class JointCNN(nn.Module):
         for width in (w, 2 * w):
             x = nn.Conv(width, (3, 3), strides=(2, 2), padding="SAME",
                         dtype=self.dtype)(x)
-            x = nn.GroupNorm(num_groups=min(32, width), dtype=self.dtype)(x)
+            x = group_norm(width, self.dtype, self.fast_norm)(x)
             x = nn.leaky_relu(x, 0.2)
         # Trunk at 1/4 resolution.
         for width in (4 * w, 4 * w):
             x = nn.Conv(width, (3, 3), padding="SAME", dtype=self.dtype)(x)
-            x = nn.GroupNorm(num_groups=32, dtype=self.dtype)(x)
+            x = group_norm(width, self.dtype, self.fast_norm)(x)
             x = nn.leaky_relu(x, 0.2)
         trunk = x
         # Heads (1×1 convs → maps at 1/4 input resolution).

@@ -26,6 +26,50 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+class FastGroupNorm(nn.Module):
+    """GroupNorm with statistics in the COMPUTE dtype (bf16), not f32.
+
+    MEASURED SLOWER than flax GroupNorm on v5e (693 vs 769 img/s on the
+    crowd step at bf16): the norm cost is the reduction work itself, not
+    the f32 stat promotion (the converts fuse into the reductions), and
+    this two-pass centered-variance form loses to flax's single-pass fast
+    variance. Kept as the hook for a future fused Pallas
+    conv→norm→activation kernel — the no-norm upper bound is 946 img/s
+    (+23%), so a real fused kernel is the round-2 lever
+    (docs/design.md §7). ``Settings.fast_norm`` stays default-off.
+    """
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        groups = min(self.num_groups, c)
+        while c % groups:
+            groups -= 1
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        orig_shape = x.shape
+        xg = x.astype(self.dtype).reshape(
+            x.shape[0], -1, groups, c // groups)
+        mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+        centered = xg - mean
+        var = jnp.mean(jnp.square(centered), axis=(1, 3), keepdims=True)
+        y = centered * jax.lax.rsqrt(var + jnp.asarray(self.epsilon,
+                                                       self.dtype))
+        y = y.reshape(orig_shape)
+        return y * scale.astype(self.dtype) + bias.astype(self.dtype)
+
+
+def group_norm(width: int, dtype, fast: bool, max_groups: int = 32):
+    """The model-wide norm-layer factory: flax GroupNorm (f32 statistics)
+    or FastGroupNorm (compute-dtype statistics)."""
+    if fast:
+        return FastGroupNorm(num_groups=min(max_groups, width), dtype=dtype)
+    return nn.GroupNorm(num_groups=min(max_groups, width), dtype=dtype)
+
+
 class DCGANGenerator(nn.Module):
     """z → image, via a stack of stride-2 transposed convolutions.
 
@@ -37,6 +81,7 @@ class DCGANGenerator(nn.Module):
     base_width: int = 64          # width at the last (largest) deconv
     latent_dimension: int = 100
     dtype: jnp.dtype = jnp.float32
+    fast_norm: bool = False       # FastGroupNorm (bf16 statistics)
 
     @nn.compact
     def __call__(self, z: jax.Array) -> jax.Array:
@@ -63,7 +108,7 @@ class DCGANGenerator(nn.Module):
         width = self.base_width * (2 ** (num_ups - 1))
         x = nn.Dense(start * start * width, dtype=self.dtype)(x)
         x = x.reshape(x.shape[0], start, start, width)
-        x = nn.GroupNorm(num_groups=32, dtype=self.dtype)(x)
+        x = group_norm(width, self.dtype, self.fast_norm)(x)
         x = nn.relu(x)
         for i in range(num_ups):
             out_width = (self.base_width * (2 ** (num_ups - 2 - i))
@@ -71,8 +116,8 @@ class DCGANGenerator(nn.Module):
             x = nn.ConvTranspose(out_width, (4, 4), strides=(2, 2),
                                  padding="SAME", dtype=self.dtype)(x)
             if i < num_ups - 1:
-                x = nn.GroupNorm(num_groups=min(32, out_width),
-                                 dtype=self.dtype)(x)
+                x = group_norm(out_width, self.dtype,
+                               self.fast_norm)(x)
                 x = nn.relu(x)
         # Deconv doubling reaches the next power-of-two×4; center-crop to
         # non-power-of-two targets (e.g. 224-px crowd patches).
@@ -95,6 +140,7 @@ class ConvRegressor(nn.Module):
     feature_size: int = 1024
     output_size: int = 1
     dtype: jnp.dtype = jnp.float32
+    fast_norm: bool = False
 
     @nn.compact
     def __call__(self, images: jax.Array
@@ -112,7 +158,7 @@ class ConvRegressor(nn.Module):
         for width in widths:
             x = nn.Conv(width, (4, 4), strides=(2, 2), padding="SAME",
                         dtype=self.dtype)(x)
-            x = nn.GroupNorm(num_groups=min(32, width), dtype=self.dtype)(x)
+            x = group_norm(width, self.dtype, self.fast_norm)(x)
             x = nn.leaky_relu(x, 0.2)
         x = x.reshape(x.shape[0], -1)
         features = nn.leaky_relu(

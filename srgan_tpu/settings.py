@@ -93,6 +93,11 @@ class Settings:
     # fp32 keeps fidelity with the reference; bf16 engages the MXU's native
     # dtype for throughput runs (params stay fp32, compute casts to bf16).
     compute_dtype: str = "float32"  # or "bfloat16"
+    # GroupNorm statistics in the compute dtype instead of f32. Measured
+    # SLOWER than flax GroupNorm on v5e (see models/dcgan.py FastGroupNorm)
+    # — keep False; the knob remains as the hook for a future fused
+    # Pallas norm kernel.
+    fast_norm: bool = False
 
     # ------------------------------------------------------------ parallelism
     # 1-D data-parallel mesh over ICI (SURVEY §2 component 12 [A]). The batch
