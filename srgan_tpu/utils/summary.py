@@ -71,7 +71,16 @@ def make_trial_directory(settings) -> str:
     name) [A][H].
     """
     stamp = datetime.datetime.now().strftime("y%Ym%md%dh%Hm%Ms%S")
-    trial_dir = os.path.join(settings.logs_directory,
-                             f"{settings.trial_directory_name()}_{stamp}")
-    os.makedirs(trial_dir, exist_ok=True)
-    return trial_dir
+    base = os.path.join(settings.logs_directory,
+                        f"{settings.trial_directory_name()}_{stamp}")
+    # Second-resolution timestamps collide when trials start back-to-back
+    # (sweeps, tests); uniquify instead of silently sharing a directory.
+    trial_dir = base
+    suffix = 1
+    while True:
+        try:
+            os.makedirs(trial_dir)
+            return trial_dir
+        except FileExistsError:
+            trial_dir = f"{base}_{suffix}"
+            suffix += 1

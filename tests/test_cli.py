@@ -54,3 +54,11 @@ def test_equals_form_and_none_value(tmp_path):
     rc = main(["coefficient", "--load_model_path=none"]
               + _common_args(tmp_path))
     assert rc == 0
+
+
+def test_trial_directories_unique_within_same_second(tmp_path):
+    from srgan_tpu.settings import Settings
+    from srgan_tpu.utils.summary import make_trial_directory
+    s = Settings(trial_name="dup", logs_directory=str(tmp_path))
+    dirs = {make_trial_directory(s) for _ in range(3)}
+    assert len(dirs) == 3  # uniquified, not silently shared
