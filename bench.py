@@ -37,6 +37,12 @@ TIMED_STEPS = 20
 def main() -> None:
     import jax
 
+    # Persist compiled executables: the remote-tunnel compile of the 224px
+    # step costs ~4 min; repeated bench runs skip it entirely.
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/srgan_tpu_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from srgan_tpu.apps.crowd import CrowdExperiment
     from srgan_tpu.settings import Settings
 

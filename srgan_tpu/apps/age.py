@@ -23,7 +23,8 @@ class AgeExperiment(Experiment):
 
     def dataset_setup(self) -> None:
         (self.labeled_dataset, self.unlabeled_dataset,
-         self.validation_dataset) = age_datasets(self.settings)
+         self.validation_dataset,
+         self.test_dataset) = age_datasets(self.settings)
 
     def model_setup(self) -> Tuple[ModelBundle, Any, Any, Any]:
         return setup_image_models(self.settings,

@@ -26,7 +26,8 @@ class CoefficientExperiment(Experiment):
 
     def dataset_setup(self) -> None:
         (self.labeled_dataset, self.unlabeled_dataset,
-         self.validation_dataset) = coefficient_datasets(self.settings)
+         self.validation_dataset,
+         self.test_dataset) = coefficient_datasets(self.settings)
 
     def model_setup(self) -> Tuple[ModelBundle, Any, Any, Any]:
         settings = self.settings

@@ -20,7 +20,8 @@ class DrivingExperiment(Experiment):
 
     def dataset_setup(self) -> None:
         (self.labeled_dataset, self.unlabeled_dataset,
-         self.validation_dataset) = driving_datasets(self.settings)
+         self.validation_dataset,
+         self.test_dataset) = driving_datasets(self.settings)
 
     def model_setup(self) -> Tuple[ModelBundle, Any, Any, Any]:
         return setup_image_models(

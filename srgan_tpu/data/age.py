@@ -108,29 +108,36 @@ def synthetic_age_examples(count: int, image_size: int = 64, seed: int = 0
 
 
 def age_datasets(settings) -> Tuple[ArrayDataset, ArrayDataset,
-                                    ArrayDataset]:
-    """(labeled, unlabeled, validation) splits, from a preprocessed ``.npz``
-    at ``settings.age_database_path`` or the synthetic generator."""
+                                    ArrayDataset, ArrayDataset]:
+    """(labeled, unlabeled, validation, test) splits, from a preprocessed
+    ``.npz`` at ``settings.age_database_path`` or the synthetic
+    generator."""
     path = settings.age_database_path
     size = settings.age_image_size
     if path:
         data = np.load(path)
         images = data["images"].astype(np.float32) / 127.5 - 1.0
         ages = data["ages"].astype(np.float32)
-        n_lab = settings.labeled_dataset_size
-        n_unl = settings.unlabeled_dataset_size
-        n_val = settings.validation_dataset_size
-        return (ArrayDataset(images[:n_lab], ages[:n_lab]),
-                ArrayDataset(images[n_lab:n_lab + n_unl]),
-                ArrayDataset(images[n_lab + n_unl:n_lab + n_unl + n_val],
-                             ages[n_lab + n_unl:n_lab + n_unl + n_val]))
+        bounds = np.cumsum([settings.labeled_dataset_size,
+                            settings.unlabeled_dataset_size,
+                            settings.validation_dataset_size,
+                            settings.test_dataset_size])
+        return (ArrayDataset(images[:bounds[0]], ages[:bounds[0]]),
+                ArrayDataset(images[bounds[0]:bounds[1]]),
+                ArrayDataset(images[bounds[1]:bounds[2]],
+                             ages[bounds[1]:bounds[2]]),
+                ArrayDataset(images[bounds[2]:bounds[3]],
+                             ages[bounds[2]:bounds[3]]))
     lab = synthetic_age_examples(settings.labeled_dataset_size, size,
                                  settings.seed)
     unl = synthetic_age_examples(settings.unlabeled_dataset_size, size,
                                  settings.seed + 1)
     val = synthetic_age_examples(settings.validation_dataset_size, size,
                                  settings.seed + 2)
-    return (ArrayDataset(*lab), ArrayDataset(unl[0]), ArrayDataset(*val))
+    test = synthetic_age_examples(settings.test_dataset_size, size,
+                                  settings.seed + 3)
+    return (ArrayDataset(*lab), ArrayDataset(unl[0]), ArrayDataset(*val),
+            ArrayDataset(*test))
 
 
 def main(argv=None) -> int:

@@ -57,11 +57,14 @@ def generate_coefficient_examples(
 
 
 def coefficient_datasets(settings: Settings
-                         ) -> Tuple[ArrayDataset, ArrayDataset, ArrayDataset]:
-    """(labeled_train, unlabeled_train, validation) per `dataset_setup()`.
+                         ) -> Tuple[ArrayDataset, ArrayDataset,
+                                    ArrayDataset, ArrayDataset]:
+    """(labeled_train, unlabeled_train, validation, test) per
+    `dataset_setup()`.
 
-    Labeled + validation come from the base N(0,1) population; the unlabeled
-    population is offset via ``settings.mean_offset`` (SURVEY.md §3.4).
+    Labeled + validation + test come from the base N(0,1) population; the
+    unlabeled population is offset via ``settings.mean_offset``
+    (SURVEY.md §3.4).
     """
     rng = np.random.default_rng(settings.seed)
     lab_x, lab_y = generate_coefficient_examples(
@@ -71,5 +74,7 @@ def coefficient_datasets(settings: Settings
         mean_offset=settings.mean_offset)
     val_x, val_y = generate_coefficient_examples(
         settings.validation_dataset_size, rng)
+    test_x, test_y = generate_coefficient_examples(
+        settings.test_dataset_size, rng)
     return (ArrayDataset(lab_x, lab_y), ArrayDataset(unl_x),
-            ArrayDataset(val_x, val_y))
+            ArrayDataset(val_x, val_y), ArrayDataset(test_x, test_y))

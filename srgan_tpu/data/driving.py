@@ -93,9 +93,10 @@ def synthetic_driving_examples(count: int, image_size: int = 64,
 
 
 def driving_datasets(settings) -> Tuple[ArrayDataset, ArrayDataset,
-                                        ArrayDataset]:
-    """(labeled, unlabeled, validation) splits from a preprocessed ``.npz``
-    at ``settings.driving_database_path`` or the synthetic generator."""
+                                        ArrayDataset, ArrayDataset]:
+    """(labeled, unlabeled, validation, test) splits from a preprocessed
+    ``.npz`` at ``settings.driving_database_path`` or the synthetic
+    generator."""
     path = settings.driving_database_path
     size = settings.age_image_size  # shared image-size knob for image apps
     stack = settings.driving_frame_stack
@@ -103,18 +104,23 @@ def driving_datasets(settings) -> Tuple[ArrayDataset, ArrayDataset,
         data = np.load(path)
         examples = data["examples"].astype(np.float32)
         labels = data["labels"].astype(np.float32)
-        n_lab = settings.labeled_dataset_size
-        n_unl = settings.unlabeled_dataset_size
-        n_val = settings.validation_dataset_size
-        return (ArrayDataset(examples[:n_lab], labels[:n_lab]),
-                ArrayDataset(examples[n_lab:n_lab + n_unl]),
-                ArrayDataset(
-                    examples[n_lab + n_unl:n_lab + n_unl + n_val],
-                    labels[n_lab + n_unl:n_lab + n_unl + n_val]))
+        bounds = np.cumsum([settings.labeled_dataset_size,
+                            settings.unlabeled_dataset_size,
+                            settings.validation_dataset_size,
+                            settings.test_dataset_size])
+        return (ArrayDataset(examples[:bounds[0]], labels[:bounds[0]]),
+                ArrayDataset(examples[bounds[0]:bounds[1]]),
+                ArrayDataset(examples[bounds[1]:bounds[2]],
+                             labels[bounds[1]:bounds[2]]),
+                ArrayDataset(examples[bounds[2]:bounds[3]],
+                             labels[bounds[2]:bounds[3]]))
     lab = synthetic_driving_examples(settings.labeled_dataset_size, size,
                                      stack, settings.seed)
     unl = synthetic_driving_examples(settings.unlabeled_dataset_size, size,
                                      stack, settings.seed + 1)
     val = synthetic_driving_examples(settings.validation_dataset_size,
                                      size, stack, settings.seed + 2)
-    return (ArrayDataset(*lab), ArrayDataset(unl[0]), ArrayDataset(*val))
+    test = synthetic_driving_examples(settings.test_dataset_size, size,
+                                      stack, settings.seed + 3)
+    return (ArrayDataset(*lab), ArrayDataset(unl[0]), ArrayDataset(*val),
+            ArrayDataset(*test))

@@ -49,6 +49,7 @@ class Experiment:
         self.labeled_dataset: Optional[ArrayDataset] = None
         self.unlabeled_dataset: Optional[ArrayDataset] = None
         self.validation_dataset: Optional[ArrayDataset] = None
+        self.test_dataset: Optional[ArrayDataset] = None
         self.models: Optional[ModelBundle] = None
         self.state: Optional[SRGANTrainState] = None
         self.mesh = None
@@ -339,3 +340,10 @@ class Experiment:
         return {"MAE": float(metrics.mae(preds, labels)),
                 "RMSE": float(metrics.rmse(preds, labels)),
                 "NVE": float(metrics.nve(preds, labels))}
+
+    def test(self, use_dnn: bool = False) -> Dict[str, float]:
+        """Final held-out evaluation on the test split (falls back to
+        validation when the app provides no separate test set, e.g.
+        crowd's grid-eval path)."""
+        return self.evaluate(self.test_dataset or self.validation_dataset,
+                             use_dnn=use_dnn)

@@ -62,6 +62,33 @@ def test_checkpoint_resume_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_test_split_and_mean_offset(tmp_path):
+    """test_dataset_size produces a real held-out split usable via
+    Experiment.test(); mean_offset shifts the unlabeled population and the
+    device z-draw."""
+    import jax.numpy as jnp
+    from srgan_tpu.data.coefficient import coefficient_datasets
+    from srgan_tpu.utils.mixture import sample_offset_normal
+    import jax
+
+    settings = _settings(tmp_path, steps_to_run=4, test_dataset_size=40,
+                         mean_offset=3.0, unlabeled_dataset_size=512)
+    lab, unl, val, test = coefficient_datasets(settings)
+    assert len(test) == 40 and test.labels is not None
+    # offset mixture: unlabeled observations have larger spread than labeled
+    assert unl.examples.std() > 1.5 * lab.examples.std()
+    # device-side z mixture is bimodal: |mean| small, E|z| large
+    z = sample_offset_normal(jax.random.key(0), (4096, 4), 3.0)
+    assert abs(float(jnp.mean(z))) < 0.3
+    assert float(jnp.mean(jnp.abs(z))) > 2.0
+
+    exp = CoefficientExperiment(settings)
+    exp.train()
+    result = exp.test()
+    assert np.isfinite(result["MAE"])
+    assert len(exp.test_dataset) == 40
+
+
 def test_labeled_set_smaller_than_batch_terminates(tmp_path):
     """Regression: labeled < batch must sample with replacement, not spin
     forever on an empty epoch (the README quick-start config hits this)."""
