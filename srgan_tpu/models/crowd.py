@@ -33,6 +33,13 @@ class JointCNN(nn.Module):
     base_width: int = 64
     dtype: jnp.dtype = jnp.float32
     fast_norm: bool = False
+    # Measured (docs/design.md §7): WITHOUT norms the supervised DNN path
+    # is markedly better (synthetic count MAE 0.39 vs 1.40) and ~19%
+    # faster, but the ADVERSARIAL D diverges on counts (17.7 vs 2.42) —
+    # the GAN streams need the normalization. Default keeps norms for the
+    # reference's D==DNN architecture symmetry; flip per-use in round 2 if
+    # the D/DNN symmetry is relaxed.
+    use_norm: bool = True
 
     @nn.compact
     def __call__(self, patches: jax.Array
@@ -43,12 +50,14 @@ class JointCNN(nn.Module):
         for width in (w, 2 * w):
             x = nn.Conv(width, (3, 3), strides=(2, 2), padding="SAME",
                         dtype=self.dtype)(x)
-            x = group_norm(width, self.dtype, self.fast_norm)(x)
+            if self.use_norm:
+                x = group_norm(width, self.dtype, self.fast_norm)(x)
             x = nn.leaky_relu(x, 0.2)
         # Trunk at 1/4 resolution.
         for width in (4 * w, 4 * w):
             x = nn.Conv(width, (3, 3), padding="SAME", dtype=self.dtype)(x)
-            x = group_norm(width, self.dtype, self.fast_norm)(x)
+            if self.use_norm:
+                x = group_norm(width, self.dtype, self.fast_norm)(x)
             x = nn.leaky_relu(x, 0.2)
         trunk = x
         # Heads (1×1 convs → maps at 1/4 input resolution).
