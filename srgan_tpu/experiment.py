@@ -231,11 +231,12 @@ class Experiment:
                             steps_per_sec * settings.batch_size)
                     last_summary_time = now
                     last_summary_step = step
+                step += 1
+                # step now equals the device-side state.step (checkpoint
+                # directory names use it — gate and name must agree).
                 if (settings.save_step_period
-                        and step > 0
                         and step % settings.save_step_period == 0):
                     self.save_models()
-                step += 1
                 if (settings.validation_step_period
                         and step % settings.validation_step_period == 0):
                     self.validation_summaries(

@@ -43,6 +43,19 @@ def test_full_trial_runs_and_writes_summaries(tmp_path):
     assert np.isfinite(result["MAE"]) and np.isfinite(result["NVE"])
 
 
+def test_periodic_checkpoints(tmp_path):
+    """save_step_period writes intermediate checkpoints, and the latest
+    one wins on resume."""
+    settings = _settings(tmp_path, steps_to_run=6, save_step_period=2)
+    exp = CoefficientExperiment(settings)
+    exp.train()
+    root = os.path.join(exp.trial_directory, "checkpoints")
+    steps = sorted(int(name.split("_")[1]) for name in os.listdir(root))
+    assert steps == [2, 4, 6]
+    latest = checkpoint.latest_checkpoint(exp.trial_directory)
+    assert latest.endswith("step_6")
+
+
 def test_checkpoint_resume_roundtrip(tmp_path):
     settings = _settings(tmp_path, steps_to_run=6)
     exp = CoefficientExperiment(settings)
