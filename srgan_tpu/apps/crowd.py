@@ -178,16 +178,18 @@ class CrowdExperiment(Experiment):
         labeled_reader = NativeDatasetReader(paths["labeled"])
         self._density_reader = NativeDatasetReader(paths["density"])
         unlabeled_reader = NativeDatasetReader(paths["unlabeled"])
+        # 2*start keeps the two streams' seeds disjoint (11+2k odd,
+        # 12+2k even) while fast-forwarding resumed runs to fresh orders.
         self._labeled_prefetcher = NativePrefetcher(
             labeled_reader, settings.batch_size,
             settings.image_patch_size, scale=2.0 / 255.0, shift=-1.0,
             num_threads=max(1, settings.number_of_data_workers),
-            seed=settings.seed + 11)
+            seed=settings.seed + 11 + 2 * self._start_step)
         self._unlabeled_prefetcher = NativePrefetcher(
             unlabeled_reader, settings.batch_size,
             settings.image_patch_size, scale=2.0 / 255.0, shift=-1.0,
             num_threads=max(1, settings.number_of_data_workers),
-            seed=settings.seed + 12)
+            seed=settings.seed + 12 + 2 * self._start_step)
 
     # -------------------------------------------------------------- models
     def model_setup(self) -> Tuple[ModelBundle, Any, Any, Any]:
@@ -276,15 +278,21 @@ class CrowdExperiment(Experiment):
             # runs per shard under shard_map and the resulting patches are
             # born with the train step's 'data' sharding; no cross-device
             # resharding between sampling and training.
-            from jax.experimental.shard_map import shard_map
             from jax.sharding import PartitionSpec as P
+
+            try:  # jax.shard_map is the public API from jax 0.8
+                from jax import shard_map
+                rep_kwargs = {"check_vma": False}
+            except ImportError:  # pragma: no cover — older jax
+                from jax.experimental.shard_map import shard_map
+                rep_kwargs = {"check_rep": False}
 
             db = P()        # database arrays replicated
             sh = P("data")  # per-example sampling params / outputs
             sample_fn = shard_map(
                 sample_fn, mesh=self.mesh,
                 in_specs=(db, db, db, sh, sh, sh, sh, sh, sh),
-                out_specs=(sh, sh, sh), check_rep=False)
+                out_specs=(sh, sh, sh), **rep_kwargs)
         self._sample_batch = jax.jit(sample_fn)
         self._eval_patches = jax.jit(
             lambda images, offs, idx:
@@ -317,7 +325,8 @@ class CrowdExperiment(Experiment):
             yield from self._host_epoch_iterators()
             return
         settings = self.settings
-        rng = np.random.default_rng(settings.seed + 1)
+        rng = np.random.default_rng(
+            [settings.seed, 1, self._start_step])
         data = self._device_data
         batch = settings.batch_size
         hw = self.labeled_db.image_size

@@ -56,6 +56,10 @@ class Experiment:
         self._train_step = None
         self._eval_d = None
         self._eval_dnn = None
+        # Step the trial (re)starts from; nonzero after a checkpoint
+        # restore. Offsets every host-side data RNG so a resumed run sees
+        # a fresh batch order instead of replaying the first epochs.
+        self._start_step = 0
 
     # ------------------------------------------------------------ abstract
     def dataset_setup(self) -> None:
@@ -125,6 +129,7 @@ class Experiment:
         if self.settings.load_model_path:
             self.state = checkpoint.restore_state(
                 self.state, self.settings.load_model_path)
+            self._start_step = int(jax.device_get(self.state.step))
 
     def save_models(self) -> str:
         step = int(jax.device_get(self.state.step))
@@ -172,8 +177,10 @@ class Experiment:
             self.state = init_train_state(settings, d_params, g_params,
                                           dnn_params)
             self.prepare_mesh()
-            self.prepare_train_step()
+            # Restore BEFORE building the input pipeline: prefetcher /
+            # iterator seeds fold in the restored step (resume fast-forward).
             self.load_models()
+            self.prepare_train_step()
             self.training_loop()
             self.save_models()
             return self.state
@@ -185,7 +192,7 @@ class Experiment:
         """Epochs over the labeled loader zipped with a cycling unlabeled
         loader; GAN + DNN updates fused in one jitted step (SURVEY.md §3.2)."""
         settings = self.settings
-        keys = KeySequence(settings.seed, "train")
+        keys = KeySequence(settings.seed, "train", start=self._start_step)
 
         step = int(jax.device_get(self.state.step))
         steps_per_epoch = self.steps_per_epoch()
@@ -268,8 +275,12 @@ class Experiment:
         override this.
         """
         settings = self.settings
-        data_rng = np.random.default_rng(settings.seed + 1)
-        unlabeled_rng = np.random.default_rng(settings.seed + 2)
+        # Seed-sequence seeding ([seed, stream, start]) is collision-free
+        # across streams and restart points.
+        data_rng = np.random.default_rng(
+            [settings.seed, 1, self._start_step])
+        unlabeled_rng = np.random.default_rng(
+            [settings.seed, 2, self._start_step])
         sharding = pmesh.batch_sharding(self.mesh)
         unlabeled_iter = cycling_batches(
             self.unlabeled_dataset, settings.batch_size, unlabeled_rng)

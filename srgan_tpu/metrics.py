@@ -39,9 +39,14 @@ def nve(predictions: Array, labels: Array, epsilon: float = 1e-8) -> Array:
 
 
 def count_nae(predicted_counts: Array, true_counts: Array,
-              epsilon: float = 1e-8) -> Array:
+              floor: float = 1.0) -> Array:
     """Crowd-counting normalized absolute error:
-    mean(|pred − true| / max(true, ε)) (Olmschenk crowd line [M])."""
+    mean(|pred − true| / max(true, floor)) (Olmschenk crowd line [M]).
+
+    The denominator floors at 1.0 (the usual crowd-counting convention):
+    zero-count frames occur in real splits and in the synthetic database,
+    and an ε-floor would let one empty image blow the mean up to ~|pred|/ε.
+    """
     p = predicted_counts.astype(jnp.float32).reshape(-1)
     t = true_counts.astype(jnp.float32).reshape(-1)
-    return jnp.mean(jnp.abs(p - t) / jnp.maximum(t, epsilon))
+    return jnp.mean(jnp.abs(p - t) / jnp.maximum(t, floor))

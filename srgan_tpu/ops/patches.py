@@ -119,7 +119,15 @@ def extract_patches(images: jax.Array, offsets: jax.Array,
     p = patch_size
     sublane = _sublane_for(images.dtype)
     rows_out = p + sublane
-    if h < rows_out:
+    # The kernel promises Mosaic a sublane-aligned DMA base
+    # (`pl.multiple_of`). The clamped base `h_eff - rows_out` is only
+    # aligned when (h - p) is a sublane multiple; otherwise pad H so the
+    # unclamped floor-aligned base is always in bounds. (A false alignment
+    # hint would mis-DMA on real TPUs — CPU interpret mode can't catch it.)
+    # Store datasets with (H - patch) % sublane == 0 to make the pad free.
+    pad_h = (sublane - (h - p) % sublane) % sublane
+    h_eff = h + pad_h
+    if h_eff < rows_out:
         raise ValueError(f"image height {h} must be ≥ patch_size + "
                          f"{sublane} = {rows_out} for dtype "
                          f"{images.dtype}")
@@ -134,7 +142,11 @@ def extract_patches(images: jax.Array, offsets: jax.Array,
     indices = indices.astype(jnp.int32)
     b = indices.shape[0]
     oy, ox = offsets[:, 0], offsets[:, 1]
-    aligned_oy = jnp.minimum((oy // sublane) * sublane, h - rows_out)
+    # Both candidates are sublane multiples: the floor-alignment by
+    # construction, the clamp bound because pad_h was chosen to make
+    # h_eff - rows_out = floor_align(h - p) (pad case) or h - p - sublane
+    # with (h - p) % sublane == 0 (no-pad case).
+    aligned_oy = jnp.minimum((oy // sublane) * sublane, h_eff - rows_out)
     dy = oy - aligned_oy  # ∈ [0, sublane]
     kernel_offsets = jnp.stack([indices, aligned_oy, ox], axis=1)
     scale_arr = jnp.full((1, 1), scale, jnp.float32)
@@ -158,8 +170,8 @@ def extract_patches(images: jax.Array, offsets: jax.Array,
         ],
     )
     flat = images.reshape(n, h, wc)
-    if wc_padded != wc:
-        flat = jnp.pad(flat, ((0, 0), (0, 0), (0, wc_padded - wc)))
+    if wc_padded != wc or pad_h:
+        flat = jnp.pad(flat, ((0, 0), (0, pad_h), (0, wc_padded - wc)))
     rows = pl.pallas_call(
         _make_rows_kernel(sublane),
         out_shape=jax.ShapeDtypeStruct((b, rows_out, wc_padded),

@@ -35,8 +35,13 @@ class KeySequence:
     sequences them from the host loop — keys never leak global state.
     """
 
-    def __init__(self, seed: int, name: str = "train"):
+    def __init__(self, seed: int, name: str = "train", start: int = 0):
         self._key = key_for(seed, name)
+        if start:
+            # Resumed runs (start = restored step) draw a FRESH stream
+            # (base key folded by the step) instead of replaying the keys
+            # already consumed before the checkpoint.
+            self._key = jax.random.fold_in(self._key, start)
 
     def next(self) -> jax.Array:
         self._key, sub = jax.random.split(self._key)

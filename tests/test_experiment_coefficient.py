@@ -75,6 +75,39 @@ def test_checkpoint_resume_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_resume_fast_forwards_data_order(tmp_path):
+    """Regression (ADVICE r1): a resumed run must not replay the batch
+    order it already trained on — host data RNGs fold in the restored
+    step."""
+    settings = _settings(tmp_path, steps_to_run=4)
+    exp = CoefficientExperiment(settings)
+    exp.train()
+    exp2 = CoefficientExperiment(_settings(
+        tmp_path, steps_to_run=8, load_model_path=exp.trial_directory))
+    exp2.train()
+    assert exp2._start_step == 4  # restored step reached the data seeds
+
+    # The iterator stream genuinely depends on the start step.
+    exp3 = CoefficientExperiment(_settings(tmp_path))
+    exp3.dataset_setup()
+    exp3.prepare_mesh()
+    exp3._start_step = 0
+    fresh = next(iter(next(exp3.epoch_batch_iterators())))
+    exp3._start_step = 4
+    resumed = next(iter(next(exp3.epoch_batch_iterators())))
+    assert not np.array_equal(np.asarray(fresh[0]), np.asarray(resumed[0]))
+
+
+def test_count_nae_zero_count_images_bounded():
+    """Regression (ADVICE r1): zero-count frames floor the denominator at
+    1.0 instead of ε (one empty image must not blow NAE up to ~1e8)."""
+    from srgan_tpu.metrics import count_nae
+    pred = np.array([5.0, 10.0], np.float32)
+    true = np.array([0.0, 10.0], np.float32)
+    np.testing.assert_allclose(float(count_nae(pred, true)), 2.5,
+                               rtol=1e-6)
+
+
 def test_test_split_and_mean_offset(tmp_path):
     """test_dataset_size produces a real held-out split usable via
     Experiment.test(); mean_offset shifts the unlabeled population and the

@@ -117,11 +117,25 @@ class TestExtractPatches:
         np.testing.assert_allclose(got, want, rtol=1e-6)
 
     def test_uint8_height_requirement(self):
+        # h == p leaves no room for an aligned DMA window even after the
+        # H-pad → explicit error.
         with pytest.raises(ValueError, match="32"):
-            extract_patches(jnp.zeros((1, 32, 40, 3), jnp.uint8),
+            extract_patches(jnp.zeros((1, 8, 40, 3), jnp.uint8),
                             jnp.zeros((1, 2), jnp.int32),
                             jnp.zeros((1,), jnp.int32),
                             patch_size=8, interpret=True)
+        # h slightly above p used to be rejected; the H-pad makes it legal
+        # and exact.
+        rng = np.random.default_rng(2)
+        images = rng.integers(0, 256, (2, 32, 40, 3)).astype(np.uint8)
+        offsets = np.array([[0, 0], [32 - 8, 40 - 8]], np.int32)
+        flips = np.zeros(2, np.int32)
+        got = np.asarray(extract_patches(
+            jnp.asarray(images), jnp.asarray(offsets), jnp.asarray(flips),
+            patch_size=8, interpret=True))
+        want = extract_patches_reference(images.astype(np.float32),
+                                         offsets, flips, 8)
+        np.testing.assert_allclose(got, want, rtol=1e-6)
 
     def test_dataset_gather_indices(self):
         """The input-queue path: B patches sampled by index from an
@@ -140,6 +154,33 @@ class TestExtractPatches:
                                          indices=indices)
         assert got.shape == (6, 8, 8, 3)
         np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_misaligned_height_keeps_dma_base_aligned(self):
+        """Regression (ADVICE r1, medium): when (h − p) is NOT a sublane
+        multiple the old clamp produced an unaligned DMA base, breaking
+        the kernel's `pl.multiple_of` promise on real TPUs. The wrapper
+        now pads H; values must stay exact even at the bottom-most
+        offsets, and the alignment invariant must hold for EVERY valid
+        oy."""
+        rng = np.random.default_rng(5)
+        h, w, p = 100, 40, 9  # uint8 sublane 32; (100−9) % 32 = 27 ≠ 0
+        images = rng.integers(0, 256, (2, h, w, 3)).astype(np.uint8)
+        offsets = np.array([[h - p, 3], [h - p - 1, 0]], np.int32)
+        flips = np.array([0, 1], np.int32)
+        got = np.asarray(extract_patches(
+            jnp.asarray(images), jnp.asarray(offsets), jnp.asarray(flips),
+            patch_size=p, interpret=True))
+        want = extract_patches_reference(images.astype(np.float32),
+                                         offsets, flips, p)
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+        # Wrapper arithmetic replicated: base aligned, slice in bounds.
+        sublane, rows_out = 32, p + 32
+        pad_h = (sublane - (h - p) % sublane) % sublane
+        for oy in range(0, h - p + 1):
+            base = min((oy // sublane) * sublane, h + pad_h - rows_out)
+            assert base % sublane == 0 and base >= 0
+            assert 0 <= oy - base <= sublane
+            assert base + rows_out <= h + pad_h
 
     def test_corner_offsets(self):
         images, _, _ = self._data(b=2, h=24, w=40, p=8)
