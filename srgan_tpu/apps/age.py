@@ -9,13 +9,11 @@ from __future__ import annotations
 
 from typing import Any, Tuple
 
-import jax
-
-from srgan_tpu.apps.common import setup_image_models
+from srgan_tpu.apps.common import (setup_image_models,
+                                   write_generated_sample_grid)
 from srgan_tpu.data.age import age_datasets
 from srgan_tpu.experiment import Experiment
 from srgan_tpu.train import ModelBundle
-from srgan_tpu.utils.seeding import key_for
 
 
 class AgeExperiment(Experiment):
@@ -33,12 +31,4 @@ class AgeExperiment(Experiment):
     def validation_summaries(self, epoch: int, step: int) -> None:
         super().validation_summaries(epoch, step)
         # Image-app extra (reference: generated-sample image grids [A][H]):
-        if not self.settings.dnn_only:
-            z = jax.random.normal(
-                key_for(self.settings.seed + epoch, "samples"),
-                (4, self.settings.latent_dimension))
-            fakes = jax.device_get(
-                self.models.g_apply(self.state.g_params, z))
-            for i, image in enumerate(fakes):
-                self.gan_summary_writer.add_image(
-                    f"generated/sample_{i}", image, step)
+        write_generated_sample_grid(self, epoch, step)

@@ -17,6 +17,27 @@ from srgan_tpu.train import ModelBundle
 from srgan_tpu.utils.seeding import key_for
 
 
+def write_generated_sample_grid(experiment, epoch: int, step: int,
+                                count: int = 4) -> None:
+    """G-sample image summaries shared by ALL image apps (age, driving,
+    crowd override separately) — reference emits generated-sample grids
+    for every image app (SURVEY.md §2 component 7 [A][H]).
+
+    Frame-stacked inputs (driving) render the first 3 channels (the most
+    recent frame) — PNG/TensorBoard images are 3-channel.
+    """
+    if experiment.settings.dnn_only:
+        return
+    z = jax.random.normal(
+        key_for(experiment.settings.seed + epoch, "samples"),
+        (count, experiment.settings.latent_dimension))
+    fakes = jax.device_get(
+        experiment.models.g_apply(experiment.state.g_params, z))
+    for i, image in enumerate(fakes):
+        experiment.gan_summary_writer.add_image(
+            f"generated/sample_{i}", image[..., :3], step)
+
+
 def setup_image_models(settings, image_size: int, channels: int = 3
                        ) -> Tuple[ModelBundle, Any, Any, Any]:
     """(models, d_params, g_params, dnn_params) for a conv-regression app."""

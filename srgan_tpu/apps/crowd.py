@@ -49,19 +49,30 @@ class CrowdExperiment(Experiment):
         self.labeled_db: Optional[CrowdDatabase] = None
         self.unlabeled_db: Optional[CrowdDatabase] = None
         self.validation_db: Optional[CrowdDatabase] = None
+        self.test_db: Optional[CrowdDatabase] = None
         self._device_data = None
         self._sample_batch = None
         self._eval_patches = None
 
     # ------------------------------------------------------------ datasets
     def _load_databases(self) -> Tuple[CrowdDatabase, CrowdDatabase,
-                                       CrowdDatabase]:
+                                       CrowdDatabase,
+                                       Optional[CrowdDatabase]]:
+        """(labeled, unlabeled, validation, test-or-None).
+
+        Reference crowd databases ship train/test splits (SURVEY.md §3.5);
+        ``test.npz`` is part of the database contract but optional —
+        absent, Experiment.test() warns and reports validation metrics.
+        """
         settings = self.settings
         if settings.crowd_database_path:
             root = settings.crowd_database_path
+            test_path = os.path.join(root, "test.npz")
             return (CrowdDatabase.load(os.path.join(root, "labeled.npz")),
                     CrowdDatabase.load(os.path.join(root, "unlabeled.npz")),
-                    CrowdDatabase.load(os.path.join(root, "validation.npz")))
+                    CrowdDatabase.load(os.path.join(root, "validation.npz")),
+                    CrowdDatabase.load(test_path)
+                    if os.path.exists(test_path) else None)
         # Hermetic fallback: procedural data (no real database on disk).
         h, w = settings.crowd_image_height, settings.crowd_image_width
         make = functools.partial(
@@ -73,7 +84,8 @@ class CrowdExperiment(Experiment):
                 make(settings.unlabeled_dataset_size,
                      seed=settings.seed + 1),
                 make(settings.validation_dataset_size,
-                     seed=settings.seed + 2))
+                     seed=settings.seed + 2),
+                make(settings.test_dataset_size, seed=settings.seed + 3))
 
     @property
     def uses_aux_target(self) -> bool:
@@ -84,8 +96,8 @@ class CrowdExperiment(Experiment):
         if label_type not in ("density", "knn", "iknn"):
             raise ValueError(f"unknown crowd_label_type {label_type!r}; "
                              f"choose density, knn or iknn")
-        self.labeled_db, self.unlabeled_db, self.validation_db = \
-            self._load_databases()
+        (self.labeled_db, self.unlabeled_db, self.validation_db,
+         self.test_db) = self._load_databases()
         if self.uses_aux_target:
             if self.labeled_db.aux_maps is None:
                 raise ValueError(
@@ -101,6 +113,9 @@ class CrowdExperiment(Experiment):
         self.labeled_dataset = self.labeled_db
         self.unlabeled_dataset = self.unlabeled_db
         self.validation_dataset = None  # crowd has its own validation path
+        # test() dispatches on this; the crowd evaluate() understands
+        # CrowdDatabase datasets (grid evaluation).
+        self.test_dataset = self.test_db
 
     def _stacked_labels(self) -> np.ndarray:
         """Label tensor: [N,H,W,1] density, or [N,H,W,2] (density, aux)."""
@@ -390,13 +405,16 @@ class CrowdExperiment(Experiment):
     # host↔device round trip each (expensive over a remote chip).
     EVAL_CHUNK_IMAGES = 8
 
-    def predict_image_counts(self, use_dnn: bool = False) -> np.ndarray:
-        """Full-image counts for the validation split: grid patches →
-        predicted maps → overlap-averaged canvas → Σ. Several images'
-        grids are batched into each device call."""
+    def predict_image_counts(self, use_dnn: bool = False,
+                             db: Optional[CrowdDatabase] = None
+                             ) -> np.ndarray:
+        """Full-image counts for a split (default: validation): grid
+        patches → predicted maps → overlap-averaged canvas → Σ. Several
+        images' grids are batched into each device call."""
         p = self.settings.image_patch_size
         f = DENSITY_DOWNSAMPLE
-        db = self.validation_db
+        use_cached_images = db is None or db is self.validation_db
+        db = db if db is not None else self.validation_db
         h, w = db.image_size
         offsets = self._grid_offsets((h, w))
         g = len(offsets)
@@ -404,7 +422,11 @@ class CrowdExperiment(Experiment):
         predict = (self._predict_density_dnn if use_dnn
                    else self._predict_density_d)
         counts = np.zeros(len(db), np.float32)
-        images = self._device_data["validation_images"]
+        if use_cached_images:
+            images = self._device_data["validation_images"]
+        else:  # one-shot eval of another split (e.g. test): upload now
+            images = jax.device_put(
+                db.images, pmesh.replicated_sharding(self.mesh))
         chunk = max(1, self.EVAL_CHUNK_IMAGES)
         for start in range(0, len(db), chunk):
             image_ids = np.arange(start, min(start + chunk, len(db)))
@@ -450,10 +472,15 @@ class CrowdExperiment(Experiment):
                               float(metrics.count_nae(pred, true_counts)),
                               step)
 
-    def evaluate(self, dataset=None, use_dnn: bool = False
-                 ) -> Dict[str, float]:
-        pred = self.predict_image_counts(use_dnn=use_dnn)
-        true_counts = self.validation_db.head_counts
+    def evaluate(self, dataset: Optional[CrowdDatabase] = None,
+                 use_dnn: bool = False) -> Dict[str, float]:
+        """Grid-evaluate ``dataset`` (a CrowdDatabase; default the
+        validation split). ``Experiment.test()`` routes the test split
+        through here — test MAE is computed on the test images, never
+        silently on validation."""
+        db = dataset if dataset is not None else self.validation_db
+        pred = self.predict_image_counts(use_dnn=use_dnn, db=db)
+        true_counts = db.head_counts
         return {"MAE": float(metrics.mae(pred, true_counts)),
                 "RMSE": float(metrics.rmse(pred, true_counts)),
                 "NVE": float(metrics.nve(pred, true_counts)),

@@ -9,7 +9,8 @@ from __future__ import annotations
 
 from typing import Any, Tuple
 
-from srgan_tpu.apps.common import setup_image_models
+from srgan_tpu.apps.common import (setup_image_models,
+                                   write_generated_sample_grid)
 from srgan_tpu.data.driving import driving_datasets
 from srgan_tpu.experiment import Experiment
 from srgan_tpu.train import ModelBundle
@@ -27,3 +28,9 @@ class DrivingExperiment(Experiment):
         return setup_image_models(
             self.settings, self.settings.age_image_size,
             channels=3 * self.settings.driving_frame_stack)
+
+    def validation_summaries(self, epoch: int, step: int) -> None:
+        super().validation_summaries(epoch, step)
+        # Reference emits G-sample grids for every image app (SURVEY.md §2
+        # component 7); the stacked-frame G renders its latest frame.
+        write_generated_sample_grid(self, epoch, step)

@@ -22,12 +22,41 @@ def _abspath(path: str) -> str:
 
 
 def save_state(state: Any, directory: str, step: int) -> str:
-    """Save the train state under ``directory/checkpoints/step_<N>``."""
+    """Save the train state under ``directory/checkpoints/step_<N>``
+    (synchronous; use :class:`AsyncStateCheckpointer` inside train loops)."""
     path = os.path.join(_abspath(directory), CHECKPOINT_SUBDIR,
                         f"step_{step}")
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, state, force=True)
     return path
+
+
+class AsyncStateCheckpointer:
+    """Non-blocking periodic saves for the training loop.
+
+    ``save()`` blocks only for the device→host copy (Orbax contract — so
+    the train step may donate/overwrite the state buffers immediately
+    after), while serialization + disk/remote writes proceed on background
+    threads overlapping subsequent steps. Synchronous saves used to stall
+    the step for the whole write on the remote-TPU tunnel.
+    """
+
+    def __init__(self):
+        self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+
+    def save(self, state: Any, directory: str, step: int) -> str:
+        path = os.path.join(_abspath(directory), CHECKPOINT_SUBDIR,
+                            f"step_{step}")
+        self._ckptr.save(path, args=ocp.args.StandardSave(state),
+                         force=True)
+        return path
+
+    def wait_until_finished(self) -> None:
+        self._ckptr.wait_until_finished()
+
+    def close(self) -> None:
+        """Flush pending writes and join the background threads."""
+        self._ckptr.close()
 
 
 def latest_checkpoint(directory: str) -> str | None:

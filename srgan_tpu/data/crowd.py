@@ -262,9 +262,61 @@ class ShanghaiTechPreprocessor(DatabasePreprocessor):
         return np.asarray(points, np.float32).reshape(-1, 2)
 
 
+class UcfCc50Preprocessor(DatabasePreprocessor):
+    """UCF-CC-50 layout: ``<i>.jpg`` + ``<i>_ann.mat`` with key
+    ``annPoints`` [M, 2] (x, y) — same annotation schema as UCF-QNRF but
+    bare numeric image names. Reference: crowd/database_preprocessor.py
+    UCF-CC-50 subclass (SURVEY.md §2 6c [L])."""
+
+    database_name = "ucf_cc_50"
+
+    def example_paths(self, raw_directory: str):
+        for image_path in sorted(glob.glob(
+                os.path.join(raw_directory, "**", "*.jpg"),
+                recursive=True)):
+            ann = image_path[:-len(".jpg")] + "_ann.mat"
+            if os.path.exists(ann):
+                yield image_path, ann
+
+    def load_head_positions(self, annotation_path: str) -> np.ndarray:
+        from scipy.io import loadmat
+        points = loadmat(annotation_path)["annPoints"]
+        return np.asarray(points, np.float32).reshape(-1, 2)
+
+
+class WorldExpoPreprocessor(DatabasePreprocessor):
+    """WorldExpo'10 layout: scene frames ``<scene>_<frame>.jpg`` with an
+    adjacent ``<same name>.mat`` annotation carrying ``point_position``
+    [M, 2] (x, y). Reference: crowd/database_preprocessor.py World Expo
+    subclass (SURVEY.md §2 6c [L] — the distribution splits labels into a
+    sibling directory; co-locate each frame's .mat next to its .jpg, or
+    symlink, before preprocessing)."""
+
+    database_name = "world_expo"
+
+    def example_paths(self, raw_directory: str):
+        for image_path in sorted(glob.glob(
+                os.path.join(raw_directory, "**", "*.jpg"),
+                recursive=True)):
+            ann = os.path.splitext(image_path)[0] + ".mat"
+            if os.path.exists(ann):
+                yield image_path, ann
+
+    def load_head_positions(self, annotation_path: str) -> np.ndarray:
+        from scipy.io import loadmat
+        points = loadmat(annotation_path)["point_position"]
+        points = np.asarray(points, np.float32)
+        # Empty frames serialize as 0-d / (0, 0) arrays in the wild.
+        if points.size == 0:
+            return np.zeros((0, 2), np.float32)
+        return points.reshape(-1, 2)
+
+
 PREPROCESSORS: Dict[str, type] = {
     UcfQnrfPreprocessor.database_name: UcfQnrfPreprocessor,
     ShanghaiTechPreprocessor.database_name: ShanghaiTechPreprocessor,
+    UcfCc50Preprocessor.database_name: UcfCc50Preprocessor,
+    WorldExpoPreprocessor.database_name: WorldExpoPreprocessor,
 }
 
 

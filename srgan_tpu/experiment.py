@@ -60,6 +60,8 @@ class Experiment:
         # restore. Offsets every host-side data RNG so a resumed run sees
         # a fresh batch order instead of replaying the first epochs.
         self._start_step = 0
+        self._checkpointer: Optional[checkpoint.AsyncStateCheckpointer] = \
+            None
 
     # ------------------------------------------------------------ abstract
     def dataset_setup(self) -> None:
@@ -132,8 +134,24 @@ class Experiment:
             self._start_step = int(jax.device_get(self.state.step))
 
     def save_models(self) -> str:
+        """Enqueue an async checkpoint: blocks only for the device→host
+        copy; the write overlaps subsequent train steps (joined in
+        ``train()``'s finally / :meth:`close`)."""
+        if self._checkpointer is None:
+            self._checkpointer = checkpoint.AsyncStateCheckpointer()
         step = int(jax.device_get(self.state.step))
-        return checkpoint.save_state(self.state, self.trial_directory, step)
+        return self._checkpointer.save(self.state, self.trial_directory,
+                                       step)
+
+    def close(self) -> None:
+        """Flush async checkpoints and close summary writers (file handles
+        used to rely on process exit — long sweeps leaked them)."""
+        if self._checkpointer is not None:
+            self._checkpointer.close()
+            self._checkpointer = None
+        for writer in (self.dnn_summary_writer, self.gan_summary_writer):
+            if writer is not None:
+                writer.close()
 
     def prepare_for_evaluation(self, trial_directory: str
                                ) -> SRGANTrainState:
@@ -185,6 +203,7 @@ class Experiment:
             self.save_models()
             return self.state
         finally:
+            self.close()
             if settings.debug_nans:
                 jax.config.update("jax_debug_nans", previous_debug_nans)
 
@@ -354,8 +373,16 @@ class Experiment:
                 "NVE": float(metrics.nve(preds, labels))}
 
     def test(self, use_dnn: bool = False) -> Dict[str, float]:
-        """Final held-out evaluation on the test split (falls back to
-        validation when the app provides no separate test set, e.g.
-        crowd's grid-eval path)."""
-        return self.evaluate(self.test_dataset or self.validation_dataset,
-                             use_dnn=use_dnn)
+        """Final held-out evaluation on the test split.
+
+        When the app provides no separate test set the fallback to the
+        validation split is EXPLICIT (a warning), never silent — a number
+        labeled "test MAE" must not quietly be validation MAE.
+        """
+        if self.test_dataset is None:
+            import warnings
+            warnings.warn(
+                "no test split configured; Experiment.test() is reporting "
+                "VALIDATION metrics", stacklevel=2)
+            return self.evaluate(self.validation_dataset, use_dnn=use_dnn)
+        return self.evaluate(self.test_dataset, use_dnn=use_dnn)

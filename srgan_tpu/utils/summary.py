@@ -50,7 +50,12 @@ class SummaryWriter:
 
     def add_image(self, tag: str, image: np.ndarray,
                   step: Optional[int] = None) -> None:
-        """image: [H, W, C] float in [0, 1] or [-1, 1]."""
+        """image: [H, W, C] float in [0, 1] or [-1, 1].
+
+        Besides the TensorBoard event, the image is dumped as a PNG under
+        ``<log_dir>/images/`` so trial artifacts (e.g. G-sample grids) are
+        inspectable without TensorBoard and assertable by tests.
+        """
         step = self.step if step is None else step
         image = np.asarray(image, dtype=np.float32)
         if image.min() < 0:
@@ -58,6 +63,15 @@ class SummaryWriter:
         image = np.clip(image, 0.0, 1.0)
         if self._tb is not None:
             self._tb.add_image(tag, image, step, dataformats="HWC")
+        try:
+            from PIL import Image as _PILImage
+        except Exception:  # pragma: no cover
+            return
+        image_dir = os.path.join(self.log_directory, "images")
+        os.makedirs(image_dir, exist_ok=True)
+        name = f"{tag.replace('/', '_')}_{step}.png"
+        _PILImage.fromarray((image * 255).astype(np.uint8)).save(
+            os.path.join(image_dir, name))
 
     def close(self) -> None:
         if self._tb is not None:
