@@ -122,16 +122,29 @@ def make_gan_train_step(
 
     def d_streams(d_params: Params, labeled_x: Array, unlabeled_x: Array,
                   fake: Array):
-        """Per-stream D forwards — the unfused fallback path.
+        """D forward on the three primal streams.
 
-        Used only when ``fuse_discriminator_streams`` is off or the stream
-        batch sizes differ; the hot path runs all four forwards (these
-        three plus the GP interpolates) as ONE 4B batched call inside
-        ``d_loss``. Fusion is mathematically identical because the models
-        use per-example normalization (GroupNorm), never batch statistics —
-        the property the reference's BatchNorm forced it to work around
-        with freeze tricks (SURVEY.md §7 hard part (a)).
+        When ``fuse_discriminator_streams`` is on, the three forwards run
+        as ONE batched call over the concatenated 3B batch — one conv
+        kernel launch sequence instead of three, better MXU occupancy at
+        small per-stream batch. Mathematically identical because the
+        models use per-example normalization (GroupNorm), never batch
+        statistics — the property the reference's BatchNorm forced it to
+        work around with freeze tricks (SURVEY.md §7 hard part (a)).
+
+        Fusion requires equal stream batch sizes (the feature slices
+        assume it); with differing labeled/unlabeled batches it silently
+        falls back to per-stream forwards — still correct, just unfused.
         """
+        if (settings.fuse_discriminator_streams
+                and labeled_x.shape[0] == unlabeled_x.shape[0]
+                and fake.shape[0] == unlabeled_x.shape[0]):
+            b = labeled_x.shape[0]
+            stacked = jnp.concatenate([labeled_x, unlabeled_x, fake],
+                                      axis=0)
+            preds, feats = models.d_apply(d_params, stacked)
+            pred_l = jax.tree.map(lambda t: t[:b], preds)
+            return pred_l, feats[:b], feats[b:2 * b], feats[2 * b:]
         pred_l, f_l = models.d_apply(d_params, labeled_x)
         _, f_u = models.d_apply(d_params, unlabeled_x)
         _, f_f = models.d_apply(d_params, fake)
@@ -141,68 +154,31 @@ def make_gan_train_step(
                labels: Array, unlabeled_x: Array, z: Array, alpha: Array
                ) -> Tuple[Array, Dict[str, Array]]:
         fake = jax.lax.stop_gradient(models.g_apply(g_params, z))
+        pred_l, f_l, f_u, f_f = d_streams(d_params, labeled_x,
+                                          unlabeled_x, fake)
+        l_loss = labeled_loss_fn(pred_l, labels)
+        u_loss = losses.unlabeled_loss(
+            f_l, f_u, multiplier=settings.unlabeled_loss_multiplier,
+            order=settings.unlabeled_loss_order)
+        f_loss = losses.fake_loss(
+            f_u, f_f, multiplier=settings.fake_loss_multiplier,
+            order=settings.fake_loss_order,
+            distance_function=settings.contrasting_distance_function)
         # Gradient penalty at unlabeled↔fake interpolates: differentiate the
         # contrasting loss w.r.t. the interpolated INPUTS; the penalty itself
         # is then differentiated w.r.t. d_params by the outer jax.grad —
         # torch's create_graph=True double-backward, natively.
         interp = losses.interpolate_inputs(alpha, unlabeled_x, fake)
-        fuse4 = (settings.fuse_discriminator_streams
-                 and labeled_x.shape[0] == unlabeled_x.shape[0]
-                 and fake.shape[0] == unlabeled_x.shape[0])
-        if fuse4:
-            # All FOUR D forwards (labeled / unlabeled / fake / interpolated)
-            # as ONE 4B batched call. The interp slice is the jax.grad primal;
-            # the other three streams ride along as has_aux outputs, so the
-            # whole D update runs a single conv/matmul launch sequence on the
-            # MXU. Identical math: per-example norms only (no batch stats),
-            # and the aux losses have zero cotangent w.r.t. the interp input.
-            b = labeled_x.shape[0]
+        f_u_const = jax.lax.stop_gradient(f_u)
 
-            def fused_interp_loss(x_i: Array):
-                stacked = jnp.concatenate(
-                    [labeled_x, unlabeled_x, fake, x_i], axis=0)
-                preds, feats = models.d_apply(d_params, stacked)
-                pred_l = jax.tree.map(lambda t: t[:b], preds)
-                f_l, f_u = feats[:b], feats[b:2 * b]
-                f_f, f_i = feats[2 * b:3 * b], feats[3 * b:]
-                l_loss = labeled_loss_fn(pred_l, labels)
-                u_loss = losses.unlabeled_loss(
-                    f_l, f_u, multiplier=settings.unlabeled_loss_multiplier,
-                    order=settings.unlabeled_loss_order)
-                f_loss = losses.fake_loss(
-                    f_u, f_f, multiplier=settings.fake_loss_multiplier,
-                    order=settings.fake_loss_order,
-                    distance_function=settings.contrasting_distance_function)
-                i_loss = losses.fake_loss(
-                    jax.lax.stop_gradient(f_u), f_i,
-                    multiplier=settings.fake_loss_multiplier,
-                    order=settings.fake_loss_order,
-                    distance_function=settings.contrasting_distance_function)
-                return i_loss, (l_loss, u_loss, f_loss)
-
-            interp_grads, (l_loss, u_loss, f_loss) = jax.grad(
-                fused_interp_loss, has_aux=True)(interp)
-        else:
-            pred_l, f_l, f_u, f_f = d_streams(d_params, labeled_x,
-                                              unlabeled_x, fake)
-            l_loss = labeled_loss_fn(pred_l, labels)
-            u_loss = losses.unlabeled_loss(
-                f_l, f_u, multiplier=settings.unlabeled_loss_multiplier,
-                order=settings.unlabeled_loss_order)
-            f_loss = losses.fake_loss(
-                f_u, f_f, multiplier=settings.fake_loss_multiplier,
+        def interp_loss_fn(x: Array) -> Array:
+            _, f_i = models.d_apply(d_params, x)
+            return losses.fake_loss(
+                f_u_const, f_i, multiplier=settings.fake_loss_multiplier,
                 order=settings.fake_loss_order,
                 distance_function=settings.contrasting_distance_function)
-            f_u_const = jax.lax.stop_gradient(f_u)
 
-            def interp_loss_fn(x: Array) -> Array:
-                _, f_i = models.d_apply(d_params, x)
-                return losses.fake_loss(
-                    f_u_const, f_i, multiplier=settings.fake_loss_multiplier,
-                    order=settings.fake_loss_order,
-                    distance_function=settings.contrasting_distance_function)
-
-            interp_grads = jax.grad(interp_loss_fn)(interp)
+        interp_grads = jax.grad(interp_loss_fn)(interp)
         gp = losses.gradient_penalty(
             interp_grads, multiplier=settings.gradient_penalty_multiplier)
         total = l_loss + u_loss + f_loss + gp
@@ -214,17 +190,8 @@ def make_gan_train_step(
     def g_loss(g_params: Params, d_params: Params, unlabeled_x: Array,
                z: Array) -> Array:
         fake = models.g_apply(g_params, z)
-        if (settings.fuse_discriminator_streams
-                and fake.shape[0] == unlabeled_x.shape[0]):
-            # One 2B batched D forward (unlabeled ‖ fake) instead of two;
-            # same per-example-norm argument as the 4B D-update fusion.
-            b = unlabeled_x.shape[0]
-            _, feats = models.d_apply(
-                d_params, jnp.concatenate([unlabeled_x, fake], axis=0))
-            f_u, f_f = feats[:b], feats[b:]
-        else:
-            _, f_u = models.d_apply(d_params, unlabeled_x)
-            _, f_f = models.d_apply(d_params, fake)
+        _, f_u = models.d_apply(d_params, unlabeled_x)
+        _, f_f = models.d_apply(d_params, fake)
         return losses.generator_loss(jax.lax.stop_gradient(f_u), f_f,
                                      order=settings.unlabeled_loss_order)
 
