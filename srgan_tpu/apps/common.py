@@ -43,15 +43,15 @@ def setup_image_models(settings, image_size: int, channels: int = 3
     """(models, d_params, g_params, dnn_params) for a conv-regression app."""
     dtype = jnp.dtype(settings.compute_dtype)
     width = settings.model_base_width
-    fast = settings.fast_norm
+    impl = settings.norm_impl
     d_model = ConvRegressor(base_width=width, feature_size=16 * width,
-                            dtype=dtype, fast_norm=fast)
+                            dtype=dtype, norm_impl=impl)
     dnn_model = ConvRegressor(base_width=width, feature_size=16 * width,
-                              dtype=dtype, fast_norm=fast)
+                              dtype=dtype, norm_impl=impl)
     g_model = DCGANGenerator(image_size=image_size, channels=channels,
                              base_width=width,
                              latent_dimension=settings.latent_dimension,
-                             dtype=dtype, fast_norm=fast)
+                             dtype=dtype, norm_impl=impl)
     init_key = key_for(settings.seed, "init")
     k_d, k_g, k_dnn = jax.random.split(init_key, 3)
     image = jnp.zeros((1, image_size, image_size, channels), jnp.float32)

@@ -53,6 +53,8 @@ class CrowdExperiment(Experiment):
         self._device_data = None
         self._sample_batch = None
         self._eval_patches = None
+        self._labeled_index_bound = 0
+        self._unlabeled_index_bound = 0
 
     # ------------------------------------------------------------ datasets
     def _load_databases(self) -> Tuple[CrowdDatabase, CrowdDatabase,
@@ -124,12 +126,22 @@ class CrowdExperiment(Experiment):
                              self.labeled_db.aux_maps], axis=-1)
         return self.labeled_db.density_maps[..., None]
 
+    @property
+    def _shard_dataset(self) -> bool:
+        return (self.settings.crowd_shard_dataset and self.mesh.size > 1
+                and not self.settings.crowd_host_pipeline)
+
     def _upload_databases(self) -> None:
         """Place split arrays in device HBM once (float32; raw 0..255).
 
         With ``settings.crowd_host_pipeline`` the training splits stay on
         the host (served by the native C++ prefetcher); only the small
         validation split goes to HBM for grid evaluation.
+
+        With ``settings.crowd_shard_dataset`` the training splits are
+        sharded over the 'data' axis (cyclically padded to a multiple of
+        the mesh size) so each device's HBM holds only 1/Nth of the
+        database; sampling then uses LOCAL per-shard indices.
         """
         repl = pmesh.replicated_sharding(self.mesh)
         put = lambda a: jax.device_put(a, repl)
@@ -138,15 +150,32 @@ class CrowdExperiment(Experiment):
         self._device_data = {
             "validation_images": put(self.validation_db.images),
         }
-        if not self.settings.crowd_host_pipeline:
-            # With an aux training target the label tensor carries BOTH
-            # maps ([..., 0] density for counts, [..., 1] aux target) so
-            # one kernel pass extracts consistent patches of each.
-            self._device_data.update({
-                "labeled_images": put(self.labeled_db.images),
-                "labeled_density": put(self._stacked_labels()),
-                "unlabeled_images": put(self.unlabeled_db.images),
-            })
+        if self.settings.crowd_host_pipeline:
+            return
+        if self._shard_dataset:
+            d = self.mesh.size
+
+            def pad(a: np.ndarray) -> np.ndarray:
+                n = -(-len(a) // d) * d  # next multiple of mesh size
+                return np.resize(a, (n,) + a.shape[1:])  # cyclic pad
+
+            put_sharded = lambda a: jax.device_put(
+                pad(a), pmesh.batch_sharding(self.mesh))
+            # Per-shard index space for the host-side samplers.
+            self._labeled_index_bound = -(-len(self.labeled_db) // d)
+            self._unlabeled_index_bound = -(-len(self.unlabeled_db) // d)
+            put = put_sharded
+        else:
+            self._labeled_index_bound = len(self.labeled_db)
+            self._unlabeled_index_bound = len(self.unlabeled_db)
+        # With an aux training target the label tensor carries BOTH
+        # maps ([..., 0] density for counts, [..., 1] aux target) so
+        # one kernel pass extracts consistent patches of each.
+        self._device_data.update({
+            "labeled_images": put(self.labeled_db.images),
+            "labeled_density": put(self._stacked_labels()),
+            "unlabeled_images": put(self.unlabeled_db.images),
+        })
 
     def _prepare_host_pipeline(self):
         """Export splits as .npy and stand up the native C++ readers/
@@ -212,13 +241,13 @@ class CrowdExperiment(Experiment):
         dtype = jnp.dtype(settings.compute_dtype)
         p = settings.image_patch_size
         w = settings.model_base_width
-        fast = settings.fast_norm
-        d_model = JointCNN(base_width=w, dtype=dtype, fast_norm=fast)
-        dnn_model = JointCNN(base_width=w, dtype=dtype, fast_norm=fast)
+        impl = settings.norm_impl
+        d_model = JointCNN(base_width=w, dtype=dtype, norm_impl=impl)
+        dnn_model = JointCNN(base_width=w, dtype=dtype, norm_impl=impl)
         g_model = CrowdDCGenerator(
             image_size=p, base_width=w,
             latent_dimension=settings.latent_dimension, dtype=dtype,
-            fast_norm=fast)
+            norm_impl=impl)
         init_key = key_for(settings.seed, "init")
         k_d, k_g, k_dnn = jax.random.split(init_key, 3)
         patch = jnp.zeros((1, p, p, 3), jnp.float32)
@@ -289,10 +318,13 @@ class CrowdExperiment(Experiment):
 
         if self.mesh.size > 1:
             # Multi-chip: each device samples ITS shard of the batch from
-            # its (replicated) copy of the database — the Pallas gather
-            # runs per shard under shard_map and the resulting patches are
-            # born with the train step's 'data' sharding; no cross-device
-            # resharding between sampling and training.
+            # the database — replicated (every device sees the whole
+            # split, global indices) or sharded over 'data' (each device
+            # sees 1/Nth, LOCAL indices; HBM scales with mesh size). The
+            # Pallas gather runs per shard under shard_map and the
+            # resulting patches are born with the train step's 'data'
+            # sharding; no cross-device resharding between sampling and
+            # training.
             from jax.sharding import PartitionSpec as P
 
             try:  # jax.shard_map is the public API from jax 0.8
@@ -302,7 +334,7 @@ class CrowdExperiment(Experiment):
                 from jax.experimental.shard_map import shard_map
                 rep_kwargs = {"check_rep": False}
 
-            db = P()        # database arrays replicated
+            db = P("data") if self._shard_dataset else P()
             sh = P("data")  # per-example sampling params / outputs
             sample_fn = shard_map(
                 sample_fn, mesh=self.mesh,
@@ -348,12 +380,16 @@ class CrowdExperiment(Experiment):
         uhw = self.unlabeled_db.image_size
         steps = self.steps_per_epoch()
 
+        # Index bounds: global (replicated DB) or per-shard local
+        # (sharded DB) — set by _upload_databases.
+        n_lab, n_unl = self._labeled_index_bound, self._unlabeled_index_bound
+
         def one_epoch():
             for _ in range(steps):
                 idx, offs, flips = self._random_patch_args(
-                    rng, len(self.labeled_db), hw, batch)
+                    rng, n_lab, hw, batch)
                 uidx, uoffs, uflips = self._random_patch_args(
-                    rng, len(self.unlabeled_db), uhw, batch)
+                    rng, n_unl, uhw, batch)
                 yield self._sample_batch(
                     data["labeled_images"], data["labeled_density"],
                     data["unlabeled_images"], idx, offs, flips,

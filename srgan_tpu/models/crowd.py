@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from srgan_tpu.models.dcgan import DCGANGenerator, group_norm
+from srgan_tpu.models.dcgan import DCGANGenerator, norm_act
 
 
 class JointCNN(nn.Module):
@@ -32,7 +32,7 @@ class JointCNN(nn.Module):
     """
     base_width: int = 64
     dtype: jnp.dtype = jnp.float32
-    fast_norm: bool = False
+    norm_impl: str = "xla"  # see dcgan.norm_act(): xla | fast | pallas
     # Measured (docs/design.md §7): WITHOUT norms the supervised DNN path
     # is markedly better (synthetic count MAE 0.39 vs 1.40) and ~19%
     # faster, but the ADVERSARIAL D diverges on counts (17.7 vs 2.42) —
@@ -51,14 +51,18 @@ class JointCNN(nn.Module):
             x = nn.Conv(width, (3, 3), strides=(2, 2), padding="SAME",
                         dtype=self.dtype)(x)
             if self.use_norm:
-                x = group_norm(width, self.dtype, self.fast_norm)(x)
-            x = nn.leaky_relu(x, 0.2)
+                x = norm_act(x, width, self.dtype, self.norm_impl,
+                             negative_slope=0.2)
+            else:
+                x = nn.leaky_relu(x, 0.2)
         # Trunk at 1/4 resolution.
         for width in (4 * w, 4 * w):
             x = nn.Conv(width, (3, 3), padding="SAME", dtype=self.dtype)(x)
             if self.use_norm:
-                x = group_norm(width, self.dtype, self.fast_norm)(x)
-            x = nn.leaky_relu(x, 0.2)
+                x = norm_act(x, width, self.dtype, self.norm_impl,
+                             negative_slope=0.2)
+            else:
+                x = nn.leaky_relu(x, 0.2)
         trunk = x
         # Heads (1×1 convs → maps at 1/4 input resolution).
         density = nn.Conv(1, (1, 1), dtype=self.dtype,

@@ -70,6 +70,33 @@ def group_norm(width: int, dtype, fast: bool, max_groups: int = 32):
     return nn.GroupNorm(num_groups=min(max_groups, width), dtype=dtype)
 
 
+def norm_act(x: jax.Array, width: int, dtype, impl: str,
+             negative_slope: float = 0.0, max_groups: int = 32
+             ) -> jax.Array:
+    """GroupNorm + activation with a selectable implementation.
+
+    * ``"pallas"`` — the fused single-pass Pallas kernel
+      (ops/fused_norm.py): statistics + normalize + scale/shift +
+      LeakyReLU in one VMEM-resident pass, Pallas backward, XLA
+      second-order fallback for the gradient-penalty path.
+    * ``"xla"`` — flax GroupNorm (f32 statistics) + leaky_relu.
+    * ``"fast"`` — FastGroupNorm (compute-dtype statistics) + leaky_relu;
+      measured slower on v5e (docs/design.md §7), kept for A/B.
+
+    ``negative_slope=0`` is ReLU.
+    """
+    if impl == "pallas":
+        from srgan_tpu.ops.fused_norm import FusedGroupNormAct
+        return FusedGroupNormAct(num_groups=min(max_groups, width),
+                                 negative_slope=negative_slope)(x)
+    if impl not in ("xla", "fast"):
+        raise ValueError(f"unknown norm_impl {impl!r}; "
+                         f"choose from ['xla', 'fast', 'pallas']")
+    x = group_norm(width, dtype, impl == "fast", max_groups)(x)
+    return (nn.leaky_relu(x, negative_slope) if negative_slope
+            else nn.relu(x))
+
+
 class DCGANGenerator(nn.Module):
     """z → image, via a stack of stride-2 transposed convolutions.
 
@@ -81,7 +108,7 @@ class DCGANGenerator(nn.Module):
     base_width: int = 64          # width at the last (largest) deconv
     latent_dimension: int = 100
     dtype: jnp.dtype = jnp.float32
-    fast_norm: bool = False       # FastGroupNorm (bf16 statistics)
+    norm_impl: str = "xla"        # see norm_act(): xla | fast | pallas
 
     @nn.compact
     def __call__(self, z: jax.Array) -> jax.Array:
@@ -108,17 +135,14 @@ class DCGANGenerator(nn.Module):
         width = self.base_width * (2 ** (num_ups - 1))
         x = nn.Dense(start * start * width, dtype=self.dtype)(x)
         x = x.reshape(x.shape[0], start, start, width)
-        x = group_norm(width, self.dtype, self.fast_norm)(x)
-        x = nn.relu(x)
+        x = norm_act(x, width, self.dtype, self.norm_impl)
         for i in range(num_ups):
             out_width = (self.base_width * (2 ** (num_ups - 2 - i))
                          if i < num_ups - 1 else self.channels)
             x = nn.ConvTranspose(out_width, (4, 4), strides=(2, 2),
                                  padding="SAME", dtype=self.dtype)(x)
             if i < num_ups - 1:
-                x = group_norm(out_width, self.dtype,
-                               self.fast_norm)(x)
-                x = nn.relu(x)
+                x = norm_act(x, out_width, self.dtype, self.norm_impl)
         # Deconv doubling reaches the next power-of-two×4; center-crop to
         # non-power-of-two targets (e.g. 224-px crowd patches).
         if size != self.image_size:
@@ -140,7 +164,7 @@ class ConvRegressor(nn.Module):
     feature_size: int = 1024
     output_size: int = 1
     dtype: jnp.dtype = jnp.float32
-    fast_norm: bool = False
+    norm_impl: str = "xla"
 
     @nn.compact
     def __call__(self, images: jax.Array
@@ -158,8 +182,8 @@ class ConvRegressor(nn.Module):
         for width in widths:
             x = nn.Conv(width, (4, 4), strides=(2, 2), padding="SAME",
                         dtype=self.dtype)(x)
-            x = group_norm(width, self.dtype, self.fast_norm)(x)
-            x = nn.leaky_relu(x, 0.2)
+            x = norm_act(x, width, self.dtype, self.norm_impl,
+                         negative_slope=0.2)
         x = x.reshape(x.shape[0], -1)
         features = nn.leaky_relu(
             nn.Dense(self.feature_size, dtype=self.dtype)(x), 0.2)

@@ -93,11 +93,14 @@ class Settings:
     # fp32 keeps fidelity with the reference; bf16 engages the MXU's native
     # dtype for throughput runs (params stay fp32, compute casts to bf16).
     compute_dtype: str = "float32"  # or "bfloat16"
-    # GroupNorm statistics in the compute dtype instead of f32. Measured
-    # SLOWER than flax GroupNorm on v5e (see models/dcgan.py FastGroupNorm)
-    # — keep False; the knob remains as the hook for a future fused
-    # Pallas norm kernel.
-    fast_norm: bool = False
+    # GroupNorm implementation (models/dcgan.py norm_act):
+    #   'xla'    — flax GroupNorm (f32 statistics) + activation.
+    #   'pallas' — fused single-pass GroupNorm+activation kernels
+    #              (ops/fused_norm.py): Pallas forward/backward, XLA math
+    #              on the gradient-penalty second-order path.
+    #   'fast'   — compute-dtype-statistics GroupNorm; measured slower on
+    #              v5e (docs/design.md §7), kept for A/B comparison.
+    norm_impl: str = "xla"
 
     # ------------------------------------------------------------ parallelism
     # 1-D data-parallel mesh over ICI (SURVEY §2 component 12 [A]). The batch
@@ -124,6 +127,12 @@ class Settings:
     # Host-side C++ input pipeline (native/srgan_io.cc) instead of the
     # HBM-resident Pallas path — for databases larger than device HBM.
     crowd_host_pipeline: bool = False
+    # Shard the HBM-resident crowd database over the 'data' mesh axis
+    # (each device holds 1/Nth of the split and samples its batch shard
+    # from LOCAL indices) instead of replicating it to every device: HBM
+    # capacity then scales with mesh size. Sampling stays uniform — equal
+    # shards, equal per-device batch shares (stratified over shards).
+    crowd_shard_dataset: bool = False
     # Age:
     age_image_size: int = 64
     age_database_path: Optional[str] = None  # preprocessed .npz; None → synthetic

@@ -350,3 +350,83 @@ class TestCrowdExperiment:
                                                                 abs=1e-5)
         off = (target + 1.0, target)
         assert float(loss_fn(off, labels)) > 0.0
+
+
+class TestShardedDataset:
+    """crowd_shard_dataset: the HBM-resident database sharded over 'data'
+    (VERDICT r1 next-step #8) — per-device shards differ, sampling uses
+    local indices, and training runs end-to-end."""
+
+    def _settings(self, tmp_path, **kw):
+        base = dict(trial_name="sharddb",
+                    logs_directory=str(tmp_path / "logs"),
+                    batch_size=8, steps_to_run=3, summary_step_period=2,
+                    labeled_dataset_size=16, unlabeled_dataset_size=16,
+                    validation_dataset_size=3,
+                    crowd_image_height=64, crowd_image_width=64,
+                    image_patch_size=32, crowd_sigma=3.0,
+                    model_base_width=8, latent_dimension=16, seed=0,
+                    crowd_shard_dataset=True)
+        base.update(kw)
+        return Settings(**base)
+
+    def test_local_index_semantics(self, tmp_path):
+        """Local index 0 on device d must address global example
+        d * n_local: the sampler must NOT see a replicated database."""
+        import jax
+        from srgan_tpu.apps.crowd import CrowdExperiment
+        from srgan_tpu.train import init_train_state
+
+        exp = CrowdExperiment(self._settings(tmp_path))
+        exp.dataset_setup()
+        models, d, g, dnn = exp.model_setup()
+        exp.models = models
+        exp.state = init_train_state(exp.settings, d, g, dnn)
+        exp.prepare_mesh()
+        assert exp.mesh.size == 8
+        exp.prepare_train_step()
+        n_local = exp._labeled_index_bound
+        assert n_local == 2  # 16 examples / 8 devices
+
+        data = exp._device_data
+        # each device's shard must be a distinct slice, not a replica
+        shards = data["labeled_images"].addressable_shards
+        assert len(shards) == 8
+        assert not np.array_equal(np.asarray(shards[0].data),
+                                  np.asarray(shards[1].data))
+
+        p = exp.settings.image_patch_size
+        batch = exp.settings.batch_size
+        zeros = np.zeros(batch, np.int32)
+        offs = np.zeros((batch, 2), np.int32)
+        patches, _, _ = exp._sample_batch(
+            data["labeled_images"], data["labeled_density"],
+            data["unlabeled_images"], zeros, offs, zeros,
+            zeros, offs, zeros)
+        patches = np.asarray(jax.device_get(patches))
+        for dev in range(8):
+            want = (exp.labeled_db.images[dev * n_local, :p, :p]
+                    .astype(np.float32) * (2.0 / 255.0) - 1.0)
+            np.testing.assert_allclose(patches[dev], want, atol=1e-6,
+                                       err_msg=f"device {dev}")
+
+    def test_trains_end_to_end(self, tmp_path):
+        import jax
+        from srgan_tpu.apps.crowd import CrowdExperiment
+
+        exp = CrowdExperiment(self._settings(tmp_path))
+        state = exp.train()
+        assert int(jax.device_get(state.step)) == 3
+        assert np.isfinite(exp.evaluate()["MAE"])
+
+    def test_pads_non_divisible_split(self, tmp_path):
+        """15 examples over 8 devices: cyclic padding to 16, bound 2."""
+        import jax
+        from srgan_tpu.apps.crowd import CrowdExperiment
+
+        exp = CrowdExperiment(self._settings(
+            tmp_path, labeled_dataset_size=15, unlabeled_dataset_size=9))
+        state = exp.train()
+        assert exp._labeled_index_bound == 2
+        assert exp._unlabeled_index_bound == 2
+        assert int(jax.device_get(state.step)) == 3

@@ -57,7 +57,7 @@ def test_crowd_trains_with_fast_norm(tmp_path):
         validation_dataset_size=3, crowd_image_height=80,
         crowd_image_width=96, image_patch_size=32, crowd_sigma=3.0,
         model_base_width=8, latent_dimension=16,
-        compute_dtype="bfloat16", fast_norm=True)
+        compute_dtype="bfloat16", norm_impl="fast")
     exp = CrowdExperiment(settings)
     state = exp.train()
     assert int(jax.device_get(state.step)) == 3
