@@ -25,7 +25,7 @@ import numpy as np
 from srgan_tpu import metrics
 from srgan_tpu.data.crowd import (CrowdDatabase, synthetic_crowd_database)
 from srgan_tpu.experiment import Experiment
-from srgan_tpu.models.crowd import CrowdDCGenerator, JointCNN
+from srgan_tpu.models.crowd import CROWD_MODELS, CrowdDCGenerator
 from srgan_tpu.ops.patches import extract_patches
 from srgan_tpu.parallel import mesh as pmesh
 from srgan_tpu.train import ModelBundle
@@ -242,8 +242,14 @@ class CrowdExperiment(Experiment):
         p = settings.image_patch_size
         w = settings.model_base_width
         impl = settings.norm_impl
-        d_model = JointCNN(base_width=w, dtype=dtype, norm_impl=impl)
-        dnn_model = JointCNN(base_width=w, dtype=dtype, norm_impl=impl)
+        try:
+            model_cls = CROWD_MODELS[settings.crowd_model]
+        except KeyError:
+            raise ValueError(
+                f"unknown crowd_model {settings.crowd_model!r}; choose "
+                f"from {sorted(CROWD_MODELS)}") from None
+        d_model = model_cls(base_width=w, dtype=dtype, norm_impl=impl)
+        dnn_model = model_cls(base_width=w, dtype=dtype, norm_impl=impl)
         g_model = CrowdDCGenerator(
             image_size=p, base_width=w,
             latent_dimension=settings.latent_dimension, dtype=dtype,

@@ -74,6 +74,120 @@ class JointCNN(nn.Module):
                 features.astype(jnp.float32))
 
 
+class JointDCNN(nn.Module):
+    """Deeper two-head crowd network (the reference's deeper variant).
+
+    Reference: crowd/models.py (JointDCNN) [L] — SURVEY.md §2 5c lists a
+    deeper DCGAN-mirror variant of JointCNN; the exact depth/widths are
+    provisional reconstructions. Same contract as :class:`JointCNN`
+    (density + count heads at 1/4 input resolution, pooled trunk
+    features) with a doubled trunk and a wider final stage — widths stay
+    multiples of 64 so the im2col'd matmuls tile the MXU.
+    """
+    base_width: int = 64
+    dtype: jnp.dtype = jnp.float32
+    norm_impl: str = "xla"
+    use_norm: bool = True
+
+    @nn.compact
+    def __call__(self, patches: jax.Array
+                 ) -> Tuple[Tuple[jax.Array, jax.Array], jax.Array]:
+        x = patches.astype(self.dtype)
+        w = self.base_width
+        for width in (w, 2 * w):
+            x = nn.Conv(width, (3, 3), strides=(2, 2), padding="SAME",
+                        dtype=self.dtype)(x)
+            if self.use_norm:
+                x = norm_act(x, width, self.dtype, self.norm_impl,
+                             negative_slope=0.2)
+            else:
+                x = nn.leaky_relu(x, 0.2)
+        # Deep trunk at 1/4 resolution (twice JointCNN's depth, ending
+        # wider).
+        for width in (4 * w, 4 * w, 4 * w, 8 * w):
+            x = nn.Conv(width, (3, 3), padding="SAME", dtype=self.dtype)(x)
+            if self.use_norm:
+                x = norm_act(x, width, self.dtype, self.norm_impl,
+                             negative_slope=0.2)
+            else:
+                x = nn.leaky_relu(x, 0.2)
+        trunk = x
+        density = nn.Conv(1, (1, 1), dtype=self.dtype,
+                          name="density_head")(trunk).squeeze(-1)
+        count = nn.Conv(1, (1, 1), dtype=self.dtype,
+                        name="count_head")(trunk).squeeze(-1)
+        features = jnp.mean(trunk, axis=(1, 2))
+        return ((density.astype(jnp.float32), count.astype(jnp.float32)),
+                features.astype(jnp.float32))
+
+
+class SpatialPyramidCNN(nn.Module):
+    """JointCNN trunk + spatial-pyramid context before the heads.
+
+    Reference: crowd/models.py spatial-pyramid heads [L] — SURVEY.md §2
+    5c; structure provisional. Global context at pyramid scales {1, 2, 4}
+    is average-pooled, projected, nearest-upsampled back to the map
+    resolution, and concatenated with the trunk before the two heads —
+    pooling/upsampling via reshape-mean/repeat (static shapes, no
+    gather), which XLA fuses cleanly on TPU.
+    """
+    base_width: int = 64
+    dtype: jnp.dtype = jnp.float32
+    norm_impl: str = "xla"
+    use_norm: bool = True
+    pyramid_levels: Tuple[int, ...] = (1, 2, 4)
+
+    @nn.compact
+    def __call__(self, patches: jax.Array
+                 ) -> Tuple[Tuple[jax.Array, jax.Array], jax.Array]:
+        x = patches.astype(self.dtype)
+        w = self.base_width
+        for width in (w, 2 * w):
+            x = nn.Conv(width, (3, 3), strides=(2, 2), padding="SAME",
+                        dtype=self.dtype)(x)
+            if self.use_norm:
+                x = norm_act(x, width, self.dtype, self.norm_impl,
+                             negative_slope=0.2)
+            else:
+                x = nn.leaky_relu(x, 0.2)
+        for width in (4 * w, 4 * w):
+            x = nn.Conv(width, (3, 3), padding="SAME", dtype=self.dtype)(x)
+            if self.use_norm:
+                x = norm_act(x, width, self.dtype, self.norm_impl,
+                             negative_slope=0.2)
+            else:
+                x = nn.leaky_relu(x, 0.2)
+        trunk = x
+        b, h, wd, c = trunk.shape
+        context = [trunk]
+        for level in self.pyramid_levels:
+            if h % level or wd % level:
+                continue  # patch size not divisible; skip this scale
+            pooled = trunk.reshape(b, level, h // level, level,
+                                   wd // level, c).mean(axis=(2, 4))
+            proj = nn.Conv(c // len(self.pyramid_levels), (1, 1),
+                           dtype=self.dtype,
+                           name=f"pyramid_{level}")(pooled)
+            up = jnp.repeat(jnp.repeat(proj, h // level, axis=1),
+                            wd // level, axis=2)
+            context.append(up)
+        fused = jnp.concatenate(context, axis=-1)
+        density = nn.Conv(1, (1, 1), dtype=self.dtype,
+                          name="density_head")(fused).squeeze(-1)
+        count = nn.Conv(1, (1, 1), dtype=self.dtype,
+                        name="count_head")(fused).squeeze(-1)
+        features = jnp.mean(trunk, axis=(1, 2))
+        return ((density.astype(jnp.float32), count.astype(jnp.float32)),
+                features.astype(jnp.float32))
+
+
+CROWD_MODELS = {
+    "jointcnn": JointCNN,
+    "jointdcnn": JointDCNN,
+    "pyramid": SpatialPyramidCNN,
+}
+
+
 class CrowdDCGenerator(DCGANGenerator):
     """DCGAN generator emitting crowd image patches.
 

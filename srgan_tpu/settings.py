@@ -116,6 +116,10 @@ class Settings:
     # preprocessed with the matching --label-type). Counts always come
     # from the density maps.
     crowd_label_type: str = "density"
+    # D/DNN architecture: 'jointcnn' (reference default), 'jointdcnn'
+    # (deeper trunk), 'pyramid' (spatial-pyramid context heads) — the
+    # reference's deeper crowd variants (crowd/models.py [L]).
+    crowd_model: str = "jointcnn"
     image_patch_size: int = 224
     crowd_image_height: int = 384
     crowd_image_width: int = 512

@@ -430,3 +430,52 @@ class TestShardedDataset:
         assert exp._labeled_index_bound == 2
         assert exp._unlabeled_index_bound == 2
         assert int(jax.device_get(state.step)) == 3
+
+
+class TestCrowdModelVariants:
+    """The reference's deeper crowd architectures (crowd/models.py
+    JointDCNN / spatial-pyramid heads, SURVEY.md §2 5c [L])."""
+
+    @pytest.mark.parametrize("name", ["jointcnn", "jointdcnn", "pyramid"])
+    def test_forward_contract(self, name):
+        import jax
+        import jax.numpy as jnp
+        from srgan_tpu.models.crowd import CROWD_MODELS
+
+        model = CROWD_MODELS[name](base_width=8)
+        x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+        params = model.init(jax.random.key(0), x)
+        (density, count), features = model.apply(params, x)
+        assert density.shape == (2, 8, 8)   # 1/4 input resolution
+        assert count.shape == (2, 8, 8)
+        assert features.ndim == 2 and features.shape[0] == 2
+        assert np.isfinite(np.asarray(density)).all()
+
+    @pytest.mark.parametrize("name", ["jointdcnn", "pyramid"])
+    def test_trains_end_to_end(self, name, tmp_path):
+        import jax
+        from srgan_tpu.apps.crowd import CrowdExperiment
+
+        settings = Settings(
+            trial_name=f"variant_{name}",
+            logs_directory=str(tmp_path / "logs"),
+            batch_size=8, steps_to_run=2, summary_step_period=2,
+            labeled_dataset_size=6, unlabeled_dataset_size=8,
+            validation_dataset_size=2, crowd_image_height=64,
+            crowd_image_width=64, image_patch_size=32, crowd_sigma=3.0,
+            model_base_width=8, latent_dimension=16,
+            crowd_model=name)
+        exp = CrowdExperiment(settings)
+        state = exp.train()
+        assert int(jax.device_get(state.step)) == 2
+        assert np.isfinite(exp.evaluate()["MAE"])
+
+    def test_unknown_variant_raises(self, tmp_path):
+        from srgan_tpu.apps.crowd import CrowdExperiment
+
+        settings = Settings(
+            trial_name="bad", logs_directory=str(tmp_path / "logs"),
+            crowd_model="resnet")
+        exp = CrowdExperiment(settings)
+        with pytest.raises(ValueError, match="crowd_model"):
+            exp.model_setup()
