@@ -249,7 +249,8 @@ class CrowdExperiment(Experiment):
                 f"unknown crowd_model {settings.crowd_model!r}; choose "
                 f"from {sorted(CROWD_MODELS)}") from None
         d_model = model_cls(base_width=w, dtype=dtype, norm_impl=impl)
-        dnn_model = model_cls(base_width=w, dtype=dtype, norm_impl=impl)
+        dnn_model = model_cls(base_width=w, dtype=dtype, norm_impl=impl,
+                              use_norm=settings.dnn_use_norm)
         g_model = CrowdDCGenerator(
             image_size=p, base_width=w,
             latent_dimension=settings.latent_dimension, dtype=dtype,

@@ -120,6 +120,12 @@ class Settings:
     # (deeper trunk), 'pyramid' (spatial-pyramid context heads) — the
     # reference's deeper crowd variants (crowd/models.py [L]).
     crowd_model: str = "jointcnn"
+    # Asymmetric baseline (crowd): drop normalization from the supervised
+    # DNN only. Measured (docs/design.md §7): the no-norm DNN is far more
+    # accurate on synthetic crowd (count MAE 0.39 vs 1.40) and cheaper,
+    # while the adversarial D diverges without norms. Default True keeps
+    # the reference's D==DNN architecture symmetry.
+    dnn_use_norm: bool = True
     image_patch_size: int = 224
     crowd_image_height: int = 384
     crowd_image_width: int = 512

@@ -479,3 +479,27 @@ class TestCrowdModelVariants:
         exp = CrowdExperiment(settings)
         with pytest.raises(ValueError, match="crowd_model"):
             exp.model_setup()
+
+
+def test_dnn_use_norm_asymmetric_baseline(tmp_path):
+    """Settings.dnn_use_norm=False: normed adversarial D + no-norm DNN
+    (measured-better baseline, docs/design.md §7) train side by side."""
+    import jax
+    from srgan_tpu.apps.crowd import CrowdExperiment
+
+    settings = Settings(
+        trial_name="asym", logs_directory=str(tmp_path / "logs"),
+        batch_size=8, steps_to_run=2, summary_step_period=2,
+        labeled_dataset_size=6, unlabeled_dataset_size=8,
+        validation_dataset_size=2, crowd_image_height=64,
+        crowd_image_width=64, image_patch_size=32, crowd_sigma=3.0,
+        model_base_width=8, latent_dimension=16, dnn_use_norm=False)
+    exp = CrowdExperiment(settings)
+    state = exp.train()
+    assert int(jax.device_get(state.step)) == 2
+    # the DNN tree really lost its norm params; the D kept them
+    d_keys = str(jax.tree_util.tree_structure(state.d_params))
+    dnn_keys = str(jax.tree_util.tree_structure(state.dnn_params))
+    assert "GroupNorm" in d_keys
+    assert "GroupNorm" not in dnn_keys
+    assert np.isfinite(exp.evaluate(use_dnn=True)["MAE"])
