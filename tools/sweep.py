@@ -66,6 +66,7 @@ class LaneState(NamedTuple):
 
 def build_sweep(labeled_size: int, unlabeled_size: int, batch_size: int,
                 steps: int, hidden_size: int, latent_dimension: int,
+                mean_offset: float = 0.0,
                 adam_b1: float = 0.9, adam_b2: float = 0.999):
     """Build the jitted (lanes → final-validation-MAEs) sweep program."""
     import jax.numpy as jnp
@@ -74,6 +75,7 @@ def build_sweep(labeled_size: int, unlabeled_size: int, batch_size: int,
     from srgan_tpu import losses
     from srgan_tpu.data.coefficient import OBSERVATION_COUNT
     from srgan_tpu.models.mlp import CoefficientGenerator, CoefficientMLP
+    from srgan_tpu.utils.mixture import sample_offset_normal
 
     discriminator = CoefficientMLP(hidden_size=hidden_size)
     generator = CoefficientGenerator(observation_count=OBSERVATION_COUNT,
@@ -156,14 +158,16 @@ def build_sweep(labeled_size: int, unlabeled_size: int, batch_size: int,
                                          unlabeled_size)
             lab_x, lab_y = lab_x_full[lab_idx], lab_y_full[lab_idx]
             unl_x = unl_x_full[unl_idx]
-            z_d = jax.random.normal(k_zd, (batch_size, latent_dimension))
+            z_d = sample_offset_normal(k_zd, (batch_size, latent_dimension),
+                                       mean_offset)
             alpha = jax.random.uniform(k_a, (batch_size,))
 
             d_grads = jax.grad(d_loss)(state.d_params, state.g_params,
                                        lab_x, lab_y, unl_x, z_d, alpha, hp)
             d_params, d_opt = adam_update(d_grads, state.d_opt,
                                           state.d_params, hp.learning_rate)
-            z_g = jax.random.normal(k_zg, (batch_size, latent_dimension))
+            z_g = sample_offset_normal(k_zg, (batch_size, latent_dimension),
+                                       mean_offset)
             g_grads = jax.grad(g_loss)(state.g_params, d_params, unl_x, z_g)
             g_params, g_opt = adam_update(g_grads, state.g_opt,
                                           state.g_params, hp.learning_rate)
@@ -193,7 +197,8 @@ def build_sweep(labeled_size: int, unlabeled_size: int, batch_size: int,
 
 def run_grid(labeled_size: int, steps: int, n_seeds: int,
              unlabeled_size: int, batch_size: int, hidden_size: int,
-             latent_dimension: int, grid: dict) -> list:
+             latent_dimension: int, grid: dict,
+             mean_offset: float = 0.0) -> list:
     """Train the full (grid × seeds) lane set for one labeled size."""
     import jax.numpy as jnp
 
@@ -211,7 +216,10 @@ def run_grid(labeled_size: int, steps: int, n_seeds: int,
     for seed in range(n_seeds):
         rng = np.random.default_rng(seed)
         lab_x, lab_y = generate_coefficient_examples(labeled_size, rng)
-        unl_x, _ = generate_coefficient_examples(unlabeled_size, rng)
+        # The unlabeled POPULATION is offset via mean_offset (the paper's
+        # distribution-shift robustness dimension; data/coefficient.py).
+        unl_x, _ = generate_coefficient_examples(
+            unlabeled_size, rng, mean_offset=mean_offset)
         seed_data.append((lab_x, lab_y, unl_x))
     val_rng = np.random.default_rng(10_000)
     val_x, val_y = generate_coefficient_examples(2000, val_rng)
@@ -231,7 +239,8 @@ def run_grid(labeled_size: int, steps: int, n_seeds: int,
         jnp.arange(n_runs, dtype=jnp.uint32))
 
     sweep = build_sweep(labeled_size, unlabeled_size, batch_size, steps,
-                        hidden_size, latent_dimension)
+                        hidden_size, latent_dimension,
+                        mean_offset=mean_offset)
     d_mae, dnn_mae = jax.device_get(
         sweep(hp, lab_x, lab_y, unl_x, lane_keys,
               jnp.array(val_x), jnp.array(val_y)))
@@ -241,7 +250,8 @@ def run_grid(labeled_size: int, steps: int, n_seeds: int,
         d = d_mae[i * n_seeds:(i + 1) * n_seeds]
         dnn = dnn_mae[i * n_seeds:(i + 1) * n_seeds]
         results.append({
-            "labeled_size": labeled_size, "steps": steps, **combo,
+            "labeled_size": labeled_size, "steps": steps,
+            "mean_offset": mean_offset, **combo,
             "gan_mae_mean": float(np.mean(d)),
             "gan_mae_std": float(np.std(d)),
             "dnn_mae_mean": float(np.mean(dnn)),
@@ -269,6 +279,9 @@ def main(argv=None) -> int:
                         default=[1e-2, 1e-1, 1e0, 1e1])
     parser.add_argument("--gp", type=float, nargs="+", default=[1e0, 1e1])
     parser.add_argument("--lr", type=float, nargs="+", default=[1e-3, 1e-4])
+    parser.add_argument("--mean-offset", type=float, default=0.0,
+                        help="offset of the unlabeled population and the "
+                             "z mixture (distribution-shift robustness)")
     parser.add_argument("--out", type=str, default=None)
     args = parser.parse_args(argv)
 
@@ -281,7 +294,8 @@ def main(argv=None) -> int:
     for labeled_size in args.labeled_sizes:
         all_results.extend(run_grid(
             labeled_size, args.steps, args.seeds, args.unlabeled_size,
-            args.batch_size, args.hidden_size, args.latent_dimension, grid))
+            args.batch_size, args.hidden_size, args.latent_dimension, grid,
+            mean_offset=args.mean_offset))
 
     all_results.sort(key=lambda r: r["gan_mae_mean"] - r["dnn_mae_mean"])
     print(f"\n{'labeled':>7} {'ul':>8} {'fl':>8} {'gp':>6} {'lr':>8} "
