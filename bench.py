@@ -13,14 +13,14 @@ Prints ONE JSON line:
 vs_baseline: the reference repo publishes no numbers (BASELINE.md;
 ``published: {}``). The denominator is a deliberately CONSERVATIVE 64
 images/sec for the reference's eager PyTorch gan+dnn step at 224px on
-its era GPU: the measurement-anchored estimate is ~19.5 img/s
+its era GPU: the measurement-anchored estimate is ~20 img/s
 (tools/torch_baseline.py measures the independently re-implemented
-eager step at 0.237 img/s on this host's single Xeon core ≈ 30% of core
-fp32 peak, extrapolated at 1080Ti-class 11.3 TFLOP/s × 25% eager
-utilization; see BASELINE.md "Measured reference denominator"), and 64
-keeps a 3× safety margin above it. vs_baseline is therefore a lower
-bound; the BASELINE.json north star of "≥10×" corresponds to
-vs_baseline ≥ 10.
+eager step at 0.237 img/s on this host's single Xeon core — a measured
+eager utilization of ~25% of core fp32 peak — and transfers that
+utilization to 1080Ti-class 11.3 TFLOP/s hardware; see BASELINE.md
+"Measured reference denominator"), and 64 keeps a 3× safety margin
+above it. vs_baseline is therefore a lower bound; the BASELINE.json
+north star of "≥10×" corresponds to vs_baseline ≥ 10.
 """
 
 from __future__ import annotations

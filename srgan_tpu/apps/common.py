@@ -23,8 +23,9 @@ def write_generated_sample_grid(experiment, epoch: int, step: int,
     crowd override separately) — reference emits generated-sample grids
     for every image app (SURVEY.md §2 component 7 [A][H]).
 
-    Frame-stacked inputs (driving) render the first 3 channels (the most
-    recent frame) — PNG/TensorBoard images are 3-channel.
+    Frame-stacked inputs (driving) render the LAST 3 channels — frames
+    concatenate oldest→newest along channels (data/driving.py), so the
+    tail is the most recent frame; PNG/TensorBoard images are 3-channel.
     """
     if experiment.settings.dnn_only:
         return
@@ -35,7 +36,7 @@ def write_generated_sample_grid(experiment, epoch: int, step: int,
         experiment.models.g_apply(experiment.state.g_params, z))
     for i, image in enumerate(fakes):
         experiment.gan_summary_writer.add_image(
-            f"generated/sample_{i}", image[..., :3], step)
+            f"generated/sample_{i}", image[..., -3:], step)
 
 
 def setup_image_models(settings, image_size: int, channels: int = 3

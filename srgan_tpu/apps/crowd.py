@@ -492,15 +492,10 @@ class CrowdExperiment(Experiment):
 
     def validation_summaries(self, epoch: int, step: int) -> None:
         # Generated-patch image grids (reference: G-sample summaries for
-        # image apps [A][H]).
-        z = jax.random.normal(
-            jax.random.fold_in(jax.random.key(self.settings.seed), epoch),
-            (4, self.settings.latent_dimension))
-        fakes = np.asarray(jax.device_get(
-            self.models.g_apply(self.state.g_params, z)))
-        for i, image in enumerate(fakes):
-            self.gan_summary_writer.add_image(f"generated/sample_{i}",
-                                              image, step)
+        # image apps [A][H]) — the shared image-app helper (skips under
+        # dnn_only; consistent key derivation across apps).
+        from srgan_tpu.apps.common import write_generated_sample_grid
+        write_generated_sample_grid(self, epoch, step)
         true_counts = self.validation_db.head_counts
         for use_dnn, writer in ((False, self.gan_summary_writer),
                                 (True, self.dnn_summary_writer)):

@@ -13,6 +13,7 @@ keeps the gradient-penalty double differentiation clean (see dcgan.py).
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -20,6 +21,34 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from srgan_tpu.models.dcgan import DCGANGenerator, norm_act
+
+
+def _conv_stage(x: jax.Array, width: int, *, stride: int, dtype,
+                use_norm: bool, norm_impl: str) -> jax.Array:
+    """One crowd-model stage: 3×3 conv [+ GroupNorm] + LeakyReLU(0.2).
+
+    Shared by all crowd D/DNN variants so norm/activation policy changes
+    cannot drift between them (must run inside an ``nn.compact`` call —
+    submodules are created in the caller's module context).
+    """
+    x = nn.Conv(width, (3, 3), strides=(stride, stride), padding="SAME",
+                dtype=dtype)(x)
+    if use_norm:
+        return norm_act(x, width, dtype, norm_impl, negative_slope=0.2)
+    return nn.leaky_relu(x, 0.2)
+
+
+def _joint_heads(head_input: jax.Array, trunk: jax.Array, dtype
+                 ) -> Tuple[Tuple[jax.Array, jax.Array], jax.Array]:
+    """The two 1×1-conv heads + globally pooled trunk features shared by
+    every crowd variant (density map, count map, features)."""
+    density = nn.Conv(1, (1, 1), dtype=dtype,
+                      name="density_head")(head_input).squeeze(-1)
+    count = nn.Conv(1, (1, 1), dtype=dtype,
+                    name="count_head")(head_input).squeeze(-1)
+    features = jnp.mean(trunk, axis=(1, 2))
+    return ((density.astype(jnp.float32), count.astype(jnp.float32)),
+            features.astype(jnp.float32))
 
 
 class JointCNN(nn.Module):
@@ -46,32 +75,16 @@ class JointCNN(nn.Module):
                  ) -> Tuple[Tuple[jax.Array, jax.Array], jax.Array]:
         x = patches.astype(self.dtype)
         w = self.base_width
-        # Stage 1+2: /4 spatial, growing width.
+        stage = functools.partial(
+            _conv_stage, dtype=self.dtype, use_norm=self.use_norm,
+            norm_impl=self.norm_impl)
+        # Stage 1+2: /4 spatial, growing width; trunk at 1/4 resolution.
         for width in (w, 2 * w):
-            x = nn.Conv(width, (3, 3), strides=(2, 2), padding="SAME",
-                        dtype=self.dtype)(x)
-            if self.use_norm:
-                x = norm_act(x, width, self.dtype, self.norm_impl,
-                             negative_slope=0.2)
-            else:
-                x = nn.leaky_relu(x, 0.2)
-        # Trunk at 1/4 resolution.
+            x = stage(x, width, stride=2)
         for width in (4 * w, 4 * w):
-            x = nn.Conv(width, (3, 3), padding="SAME", dtype=self.dtype)(x)
-            if self.use_norm:
-                x = norm_act(x, width, self.dtype, self.norm_impl,
-                             negative_slope=0.2)
-            else:
-                x = nn.leaky_relu(x, 0.2)
-        trunk = x
-        # Heads (1×1 convs → maps at 1/4 input resolution).
-        density = nn.Conv(1, (1, 1), dtype=self.dtype,
-                          name="density_head")(trunk).squeeze(-1)
-        count = nn.Conv(1, (1, 1), dtype=self.dtype,
-                        name="count_head")(trunk).squeeze(-1)
-        features = jnp.mean(trunk, axis=(1, 2))  # [B, 4w] global pool
-        return ((density.astype(jnp.float32), count.astype(jnp.float32)),
-                features.astype(jnp.float32))
+            x = stage(x, width, stride=1)
+        # Heads (1×1 convs → maps at 1/4 input resolution) + [B, 4w] pool.
+        return _joint_heads(x, x, self.dtype)
 
 
 class JointDCNN(nn.Module):
@@ -94,31 +107,16 @@ class JointDCNN(nn.Module):
                  ) -> Tuple[Tuple[jax.Array, jax.Array], jax.Array]:
         x = patches.astype(self.dtype)
         w = self.base_width
+        stage = functools.partial(
+            _conv_stage, dtype=self.dtype, use_norm=self.use_norm,
+            norm_impl=self.norm_impl)
         for width in (w, 2 * w):
-            x = nn.Conv(width, (3, 3), strides=(2, 2), padding="SAME",
-                        dtype=self.dtype)(x)
-            if self.use_norm:
-                x = norm_act(x, width, self.dtype, self.norm_impl,
-                             negative_slope=0.2)
-            else:
-                x = nn.leaky_relu(x, 0.2)
+            x = stage(x, width, stride=2)
         # Deep trunk at 1/4 resolution (twice JointCNN's depth, ending
         # wider).
         for width in (4 * w, 4 * w, 4 * w, 8 * w):
-            x = nn.Conv(width, (3, 3), padding="SAME", dtype=self.dtype)(x)
-            if self.use_norm:
-                x = norm_act(x, width, self.dtype, self.norm_impl,
-                             negative_slope=0.2)
-            else:
-                x = nn.leaky_relu(x, 0.2)
-        trunk = x
-        density = nn.Conv(1, (1, 1), dtype=self.dtype,
-                          name="density_head")(trunk).squeeze(-1)
-        count = nn.Conv(1, (1, 1), dtype=self.dtype,
-                        name="count_head")(trunk).squeeze(-1)
-        features = jnp.mean(trunk, axis=(1, 2))
-        return ((density.astype(jnp.float32), count.astype(jnp.float32)),
-                features.astype(jnp.float32))
+            x = stage(x, width, stride=1)
+        return _joint_heads(x, x, self.dtype)
 
 
 class SpatialPyramidCNN(nn.Module):
@@ -142,21 +140,13 @@ class SpatialPyramidCNN(nn.Module):
                  ) -> Tuple[Tuple[jax.Array, jax.Array], jax.Array]:
         x = patches.astype(self.dtype)
         w = self.base_width
+        stage = functools.partial(
+            _conv_stage, dtype=self.dtype, use_norm=self.use_norm,
+            norm_impl=self.norm_impl)
         for width in (w, 2 * w):
-            x = nn.Conv(width, (3, 3), strides=(2, 2), padding="SAME",
-                        dtype=self.dtype)(x)
-            if self.use_norm:
-                x = norm_act(x, width, self.dtype, self.norm_impl,
-                             negative_slope=0.2)
-            else:
-                x = nn.leaky_relu(x, 0.2)
+            x = stage(x, width, stride=2)
         for width in (4 * w, 4 * w):
-            x = nn.Conv(width, (3, 3), padding="SAME", dtype=self.dtype)(x)
-            if self.use_norm:
-                x = norm_act(x, width, self.dtype, self.norm_impl,
-                             negative_slope=0.2)
-            else:
-                x = nn.leaky_relu(x, 0.2)
+            x = stage(x, width, stride=1)
         trunk = x
         b, h, wd, c = trunk.shape
         context = [trunk]
@@ -172,13 +162,7 @@ class SpatialPyramidCNN(nn.Module):
                             wd // level, axis=2)
             context.append(up)
         fused = jnp.concatenate(context, axis=-1)
-        density = nn.Conv(1, (1, 1), dtype=self.dtype,
-                          name="density_head")(fused).squeeze(-1)
-        count = nn.Conv(1, (1, 1), dtype=self.dtype,
-                        name="count_head")(fused).squeeze(-1)
-        features = jnp.mean(trunk, axis=(1, 2))
-        return ((density.astype(jnp.float32), count.astype(jnp.float32)),
-                features.astype(jnp.float32))
+        return _joint_heads(fused, trunk, self.dtype)
 
 
 CROWD_MODELS = {

@@ -33,10 +33,10 @@ class FastGroupNorm(nn.Module):
     crowd step at bf16): the norm cost is the reduction work itself, not
     the f32 stat promotion (the converts fuse into the reductions), and
     this two-pass centered-variance form loses to flax's single-pass fast
-    variance. Kept as the hook for a future fused Pallas
-    conv→norm→activation kernel — the no-norm upper bound is 946 img/s
-    (+23%), so a real fused kernel is the round-2 lever
-    (docs/design.md §7). ``Settings.fast_norm`` stays default-off.
+    variance. Round 2 built the fused Pallas norm kernel
+    (ops/fused_norm.py, ``Settings.norm_impl="pallas"``) and measured
+    flax/XLA's GroupNorm already bandwidth-bound (docs/design.md §7);
+    this variant stays selectable via ``norm_impl="fast"`` for A/B.
     """
     num_groups: int = 32
     epsilon: float = 1e-5

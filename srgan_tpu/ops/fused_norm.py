@@ -37,7 +37,7 @@ kernel IS the production norm path, not an optional extra.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -62,14 +62,20 @@ _MAX_SLICE_BYTES = int(2.4 * 1024 * 1024)
 _CHUNK_MAX = 1024
 
 
-def _pick_chunk(hw: int) -> int:
-    """Largest sublane-aligned divisor of hw ≤ _CHUNK_MAX (hw if none)."""
+def _pick_chunk(hw: int) -> Optional[int]:
+    """Largest sublane-aligned divisor of hw ≤ _CHUNK_MAX.
+
+    Small slices (≤ 2·_CHUNK_MAX rows) stream as one whole chunk. Larger
+    slices NEED chunking (whole-slice f32 temporaries overflow scoped
+    VMEM — see _CHUNK_MAX comment); if hw has no 16-aligned divisor in
+    range, returns None and the caller falls back to the XLA path.
+    """
     if hw <= 2 * _CHUNK_MAX:
         return hw
     for chunk in range(_CHUNK_MAX, 0, -1):
         if hw % chunk == 0 and chunk % 16 == 0:
             return chunk
-    return hw
+    return None
 
 
 def _group_onehot(lanes: int, groups: int, c_true: int,
@@ -457,8 +463,11 @@ def group_norm_act(x: Array, scale: Array, bias: Array, *, groups: int,
         raise ValueError(f"channels {c} not divisible by groups {groups}")
     x3 = x.reshape(orig_shape[0], -1, c)
     slice_bytes = x3.shape[1] * c * x3.dtype.itemsize
-    if slice_bytes > _MAX_SLICE_BYTES:
-        # Per-example slice too large for a single-pass VMEM kernel.
+    hw_folded = x3.shape[1] // _fold_factor(x3.shape[1], c)
+    if slice_bytes > _MAX_SLICE_BYTES or _pick_chunk(hw_folded) is None:
+        # Per-example slice too large for a single-pass VMEM kernel, or
+        # no sublane-aligned row chunking exists for this (odd, large)
+        # shape — XLA reference path instead of a scoped-VMEM overflow.
         y, _, _ = _reference_fwd(x3, scale, bias, groups, negative_slope,
                                  eps)
         return y.reshape(orig_shape)

@@ -12,13 +12,18 @@ This script re-implements that training pattern INDEPENDENTLY in torch
 the production crowd config: 224px patches, JointCNN-64 D + DNN, DCGAN
 generator) and times it on CPU — the only torch device in this image.
 
-Extrapolation method (documented, bench.py cites it):
-  measured_cpu_img_per_sec × (gpu_achieved_flops / cpu_achieved_flops)
-where cpu_achieved_flops is computed from this measurement and the
-step's analytic FLOP count, and gpu_achieved_flops assumes the reference
-era's hardware (GTX 1080 Ti–class, 11.3 TFLOP/s fp32 peak) at 25% eager
-small-batch utilization — generous to the reference (typical eager conv
-stacks with per-stream backwards land at 15–30%).
+Extrapolation method (documented, bench.py cites it): the measurement's
+role is the eager-mode FLOP *utilization* — what fraction of hardware
+peak the reference's training pattern actually achieves. We measure
+  util_cpu = (measured img/s × analytic FLOP/img) / CPU_PEAK_FP32
+on this host, then assume the same eager pattern achieves a comparable
+utilization of reference-era GPU hardware (GTX 1080 Ti–class,
+11.3 TFLOP/s fp32 peak):
+  gpu_img_per_sec ≈ util_cpu × GPU_PEAK_FP32 / flop_per_image.
+A faster or slower host, or a leaner step, moves util_cpu and the
+estimate with it. Transferring CPU utilization to GPU is generous to the
+reference (cuDNN eager conv stacks with per-stream backwards typically
+land at 15–30% of peak, similar to a well-fed AVX-512 core).
 
 Usage: python tools/torch_baseline.py [--batch 8] [--steps 4] [--patch 224]
 Prints one JSON line with the measurement and the derived extrapolation.
@@ -35,10 +40,11 @@ import torch
 import torch.nn as nn
 import torch.nn.functional as F
 
-# Reference-era GPU assumption for the extrapolation (see module
-# docstring): fp32 peak of a GTX 1080 Ti and an eager-mode utilization.
-GPU_PEAK_FP32 = 11.3e12
-GPU_EAGER_UTILIZATION = 0.25
+# Extrapolation constants (see module docstring). CPU peak: one Xeon
+# Skylake-SP-class core at 2.1 GHz with two AVX-512 FMA units =
+# 2.1e9 × 64 fp32 FLOP/cycle (this host: nproc=1, "Intel Xeon @2.10GHz").
+CPU_PEAK_FP32 = 2.1e9 * 64
+GPU_PEAK_FP32 = 11.3e12  # GTX 1080 Ti-class, the reference's era
 
 
 class JointCNNTorch(nn.Module):
@@ -189,22 +195,23 @@ def main(argv=None) -> int:
     elapsed = time.perf_counter() - start
     img_per_sec_cpu = args.steps * b / elapsed
 
-    # Achieved-FLOPs extrapolation (documented in module docstring). The
+    # Measured-utilization extrapolation (module docstring). The
     # per-image step cost from XLA cost analysis of the equivalent fused
     # step is ~145 GFLOP (docs/design.md §7); eager torch runs the same
-    # model math, so reuse it for the CPU achieved-FLOPs estimate.
+    # model math, so reuse it for the achieved-FLOPs estimate.
     flop_per_image = 145e9
     cpu_achieved = img_per_sec_cpu * flop_per_image
-    gpu_achieved = GPU_PEAK_FP32 * GPU_EAGER_UTILIZATION
-    img_per_sec_gpu_extrapolated = img_per_sec_cpu * (gpu_achieved /
-                                                      cpu_achieved)
+    util_cpu = cpu_achieved / CPU_PEAK_FP32
+    img_per_sec_gpu_extrapolated = (util_cpu * GPU_PEAK_FP32
+                                    / flop_per_image)
     print(json.dumps({
         "torch_cpu_img_per_sec": round(img_per_sec_cpu, 3),
         "batch": b, "patch": p, "steps_timed": args.steps,
         "seconds_per_step": round(elapsed / args.steps, 3),
         "cpu_achieved_tflops": round(cpu_achieved / 1e12, 3),
-        "gpu_assumption": "1080Ti-class 11.3 TFLOP/s fp32 x 25% eager "
-                          "utilization",
+        "measured_cpu_utilization": round(util_cpu, 3),
+        "gpu_assumption": "1080Ti-class 11.3 TFLOP/s fp32 at the "
+                          "MEASURED eager utilization",
         "reference_gpu_img_per_sec_extrapolated": round(
             img_per_sec_gpu_extrapolated, 1),
     }))
