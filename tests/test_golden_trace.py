@@ -1,0 +1,29 @@
+"""The committed golden trace must reproduce exactly on CPU.
+
+Pins the fused GAN step's numerics (every loss stream, every step) so a
+refactor that silently moves values — a fusion change, a kernel swap, an
+optimizer-wiring slip — fails loudly. This is also the harness that will
+diff our numerics against the actual PyTorch reference once the mount is
+readable (SURVEY.md §0/§4; tools/golden_trace.py).
+"""
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TRACE = os.path.join(REPO, "traces", "coefficient_h10_s0.json")
+
+
+def test_committed_trace_reproduces():
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import golden_trace
+
+    with open(TRACE) as f:
+        golden = json.load(f)
+    trace = golden_trace.run_trace(golden["steps"], golden["seed"],
+                                   golden["hidden_size"])
+    for i, (got, want) in enumerate(zip(trace, golden["trace"])):
+        for key, want_v in want.items():
+            assert abs(got[key] - want_v) <= 1e-6 + 1e-5 * abs(want_v), (
+                f"step {i} {key}: {got[key]!r} vs golden {want_v!r}")
