@@ -33,8 +33,8 @@ import numpy as np
 
 REFERENCE_IMAGES_PER_SEC_ESTIMATE = 64.0
 
-BATCH = 120  # measured on v5e: 591 img/s @32, 652 @64, 757 @96, 819 @112, 829 @120
-PATCH = 224  # batch 128 exceeds the remote-compile window
+BATCH = 120  # v5e sweep: 591 @32, 652 @64, 757 @96, ~794 @112, ~798 @120, ~798 @124
+PATCH = 224  # batch 128 exceeds the remote-compile window; 124 gains nothing
 WARMUP_STEPS = 3
 TIMED_STEPS = 20
 

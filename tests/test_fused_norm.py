@@ -195,3 +195,17 @@ def test_module_in_training_step_under_jit():
     assert np.isfinite(float(val))
     flat = jax.tree.leaves(grads)
     assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
+
+
+def test_odd_large_hw_falls_back_to_xla():
+    """hw > 2*_CHUNK_MAX with no 16-aligned divisor (e.g. 51*51=2601):
+    no safe row chunking exists, so the wrapper must route to the XLA
+    reference path instead of compiling a whole-slice kernel."""
+    from srgan_tpu.ops.fused_norm import _pick_chunk
+
+    assert _pick_chunk(2601) is None
+    x, scale, bias = make_inputs(jax.random.key(9), (1, 51, 51, 256))
+    got = group_norm_act(x, scale, bias, groups=32, negative_slope=0.2)
+    want = flax_gn_act(x, scale, bias, 32, 0.2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
