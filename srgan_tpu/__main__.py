@@ -60,6 +60,9 @@ def main(argv=None) -> int:
                         help="application experiment to run")
     parser.add_argument("--evaluate_only", action="store_true",
                         help="restore load_model_path and evaluate only")
+    parser.add_argument("--preset", default=None,
+                        help="named settings bundle (srgan_tpu.presets); "
+                             "explicit --flags override preset values")
     args, rest = parser.parse_known_args(argv)
 
     overrides = []
@@ -83,7 +86,14 @@ def main(argv=None) -> int:
         overrides.append((name, _parse_value(raw, hints[name])))
         i += 1
 
-    settings = Settings(**dict(overrides))
+    fields = dict(overrides)
+    if args.preset:
+        from srgan_tpu.presets import apply_preset
+        try:
+            fields = apply_preset(args.preset, fields)
+        except ValueError as error:
+            raise SystemExit(str(error))
+    settings = Settings(**fields)
     module_name, class_name = APPS[args.app].split(":")
     import importlib
     experiment_cls = getattr(importlib.import_module(module_name),

@@ -62,3 +62,24 @@ def test_trial_directories_unique_within_same_second(tmp_path):
     s = Settings(trial_name="dup", logs_directory=str(tmp_path))
     dirs = {make_trial_directory(s) for _ in range(3)}
     assert len(dirs) == 3  # uniquified, not silently shared
+
+
+def test_preset_applies_with_override_precedence(tmp_path, capsys):
+    """--preset loads the named bundle; explicit flags override it."""
+    rc = main(["coefficient", "--preset", "coefficient_win",
+               "--steps_to_run", "4", "--validation_step_period", "4",
+               "--unlabeled_dataset_size", "64",
+               "--validation_dataset_size", "8",
+               "--logs_directory", str(tmp_path / "logs"),
+               "--trial_name", "preset"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # preset fields took effect (hidden 100 → l16 in the trial name
+    # tokens) while the explicit steps override won
+    assert "_l16_" in out["trial_directory"]
+    assert np.isfinite(out["evaluation"]["MAE"])
+
+
+def test_unknown_preset_lists_choices():
+    with pytest.raises(SystemExit, match="coefficient_win"):
+        main(["coefficient", "--preset", "nope"])
