@@ -106,8 +106,14 @@ def main(argv=None) -> int:
         print(json.dumps(experiment.evaluate()))
         return 0
     experiment.train()
-    print(json.dumps({"trial_directory": experiment.trial_directory,
-                      "evaluation": experiment.evaluate()}))
+    result = {"trial_directory": experiment.trial_directory,
+              "validation": experiment.evaluate()}
+    if experiment.test_dataset is not None:
+        # Final held-out numbers (the reference's headline metrics are
+        # test-split MAE/NVE); apps without a test split report
+        # validation only — never silently aliased (experiment.py).
+        result["test"] = experiment.test()
+    print(json.dumps(result))
     return 0
 
 

@@ -29,7 +29,7 @@ def test_train_then_evaluate_only(tmp_path, capsys):
     assert rc == 0
     result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     # evaluate_only on the restored state reproduces the trial's final eval
-    np.testing.assert_allclose(result["MAE"], out["evaluation"]["MAE"],
+    np.testing.assert_allclose(result["MAE"], out["validation"]["MAE"],
                                rtol=1e-5)
 
 
@@ -77,7 +77,8 @@ def test_preset_applies_with_override_precedence(tmp_path, capsys):
     # preset fields took effect (hidden 100 → l16 in the trial name
     # tokens) while the explicit steps override won
     assert "_l16_" in out["trial_directory"]
-    assert np.isfinite(out["evaluation"]["MAE"])
+    assert np.isfinite(out["validation"]["MAE"])
+    assert np.isfinite(out["test"]["MAE"])  # held-out split reported too
 
 
 def test_unknown_preset_lists_choices():
