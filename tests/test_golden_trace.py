@@ -11,18 +11,24 @@ import json
 import os
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-TRACE = os.path.join(REPO, "traces", "coefficient_h10_s0.json")
 
 
-def test_committed_trace_reproduces():
+@pytest.mark.parametrize("name", [
+    "coefficient_h10_s0.json",  # MLP path
+    "crowd_tiny_s0.json",       # conv / GroupNorm / two-head path
+])
+def test_committed_trace_reproduces(name):
     sys.path.insert(0, os.path.join(REPO, "tools"))
     import golden_trace
 
-    with open(TRACE) as f:
+    with open(os.path.join(REPO, "traces", name)) as f:
         golden = json.load(f)
     trace = golden_trace.run_trace(golden["steps"], golden["seed"],
-                                   golden["hidden_size"])
+                                   golden["hidden_size"],
+                                   golden.get("app", "coefficient"))
     for i, (got, want) in enumerate(zip(trace, golden["trace"])):
         for key, want_v in want.items():
             assert abs(got[key] - want_v) <= 1e-6 + 1e-5 * abs(want_v), (

@@ -38,39 +38,86 @@ def _force_cpu() -> None:
     jax.config.update("jax_platforms", "cpu")
 
 
-def run_trace(steps: int, seed: int, hidden_size: int) -> list:
-    """Per-step metrics of the fused GAN step on the coefficient config."""
+def run_trace(steps: int, seed: int, hidden_size: int,
+              app: str = "coefficient") -> list:
+    """Per-step metrics of the fused GAN step on a fixed tiny config.
+
+    ``app="coefficient"`` exercises the MLP path; ``app="crowd"``
+    exercises the conv/GroupNorm/two-head path (tiny synthetic crowd, the
+    same models the flagship runs).
+    """
     import jax.numpy as jnp
 
-    from srgan_tpu.data.coefficient import coefficient_datasets
-    from srgan_tpu.apps.coefficient import CoefficientExperiment
     from srgan_tpu.settings import Settings
     from srgan_tpu.train import init_train_state, make_gan_train_step
     from srgan_tpu.utils.seeding import KeySequence
 
-    settings = Settings(batch_size=16, labeled_dataset_size=32,
-                        unlabeled_dataset_size=64,
-                        validation_dataset_size=8, test_dataset_size=8,
-                        hidden_size=hidden_size, seed=seed,
-                        compute_dtype="float32")
-    experiment = CoefficientExperiment(settings)
-    experiment.dataset_setup()
-    models, d_params, g_params, dnn_params = experiment.model_setup()
-    state = init_train_state(settings, d_params, g_params, dnn_params)
-    step_fn = jax.jit(make_gan_train_step(settings, models))
+    if app == "coefficient":
+        from srgan_tpu.apps.coefficient import CoefficientExperiment
 
-    labeled, unlabeled = experiment.labeled_dataset, \
-        experiment.unlabeled_dataset
+        settings = Settings(batch_size=16, labeled_dataset_size=32,
+                            unlabeled_dataset_size=64,
+                            validation_dataset_size=8, test_dataset_size=8,
+                            hidden_size=hidden_size, seed=seed,
+                            compute_dtype="float32")
+        experiment = CoefficientExperiment(settings)
+        experiment.dataset_setup()
+        models, d_params, g_params, dnn_params = experiment.model_setup()
+        state = init_train_state(settings, d_params, g_params, dnn_params)
+        step_fn = jax.jit(make_gan_train_step(
+            settings, models,
+            labeled_loss_fn=experiment.labeled_loss_fn()))
+        labeled, unlabeled = experiment.labeled_dataset, \
+            experiment.unlabeled_dataset
+        rng = np.random.default_rng(settings.seed)
+
+        def next_batch():
+            idx = rng.integers(0, len(labeled), settings.batch_size)
+            uidx = rng.integers(0, len(unlabeled), settings.batch_size)
+            return (jnp.asarray(labeled.examples[idx]),
+                    jnp.asarray(labeled.labels[idx]),
+                    jnp.asarray(unlabeled.examples[uidx]))
+    elif app == "crowd":
+        from srgan_tpu.apps.crowd import CrowdExperiment
+
+        settings = Settings(batch_size=4, labeled_dataset_size=4,
+                            unlabeled_dataset_size=4,
+                            validation_dataset_size=2,
+                            crowd_image_height=64, crowd_image_width=64,
+                            image_patch_size=32, crowd_sigma=3.0,
+                            model_base_width=8, latent_dimension=8,
+                            seed=seed, compute_dtype="float32")
+        experiment = CrowdExperiment(settings)
+        experiment.dataset_setup()
+        models, d_params, g_params, dnn_params = experiment.model_setup()
+        state = init_train_state(settings, d_params, g_params, dnn_params)
+        step_fn = jax.jit(make_gan_train_step(
+            settings, models,
+            labeled_loss_fn=experiment.labeled_loss_fn()))
+        p = settings.image_patch_size
+        images = experiment.labeled_db.images.astype(np.float32)
+        density = experiment.labeled_db.density_maps
+        uimages = experiment.unlabeled_db.images.astype(np.float32)
+        rng = np.random.default_rng(settings.seed)
+
+        def next_batch():
+            idx = rng.integers(0, len(images), settings.batch_size)
+            # fixed top-left patches: host-side, hardware-independent
+            patches = images[idx, :p, :p] * (2.0 / 255.0) - 1.0
+            labels = density[idx, :p, :p]
+            uidx = rng.integers(0, len(uimages), settings.batch_size)
+            upatches = uimages[uidx, :p, :p] * (2.0 / 255.0) - 1.0
+            return (jnp.asarray(patches), jnp.asarray(labels),
+                    jnp.asarray(upatches))
+    else:
+        raise ValueError(f"unknown app {app!r}; choose coefficient|crowd")
+
     keys = KeySequence(settings.seed, "train")
-    rng = np.random.default_rng(settings.seed)
     trace = []
-    for i in range(steps):
-        idx = rng.integers(0, len(labeled), settings.batch_size)
-        uidx = rng.integers(0, len(unlabeled), settings.batch_size)
-        state, metrics = step_fn(
-            state, jnp.asarray(labeled.examples[idx]),
-            jnp.asarray(labeled.labels[idx]),
-            jnp.asarray(unlabeled.examples[uidx]), keys.next())
+    for _ in range(steps):
+        labeled_x, labels, unlabeled_x = next_batch()
+        state, metrics = step_fn(state, labeled_x, labels, unlabeled_x,
+                                 keys.next())
         trace.append({k: float(v)
                       for k, v in jax.device_get(metrics).items()})
     return trace
@@ -79,6 +126,8 @@ def run_trace(steps: int, seed: int, hidden_size: int) -> list:
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     parser.add_argument("mode", choices=["record", "compare"])
+    parser.add_argument("--app", choices=["coefficient", "crowd"],
+                        default="coefficient")
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--hidden-size", type=int, default=10)
@@ -89,11 +138,12 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
 
     _force_cpu()
-    trace = run_trace(args.steps, args.seed, args.hidden_size)
+    trace = run_trace(args.steps, args.seed, args.hidden_size, args.app)
     if args.mode == "record":
         out = args.out or "golden_trace.json"
         with open(out, "w") as f:
-            json.dump({"steps": args.steps, "seed": args.seed,
+            json.dump({"app": args.app, "steps": args.steps,
+                       "seed": args.seed,
                        "hidden_size": args.hidden_size,
                        "trace": trace}, f, indent=1)
         print(f"recorded {args.steps} steps to {out}")
@@ -103,11 +153,11 @@ def main(argv=None) -> int:
         parser.error("compare requires --trace")
     with open(args.trace) as f:
         golden = json.load(f)
-    if (golden["steps"], golden["seed"], golden["hidden_size"]) != \
-            (args.steps, args.seed, args.hidden_size):
+    golden_cfg = (golden.get("app", "coefficient"), golden["steps"],
+                  golden["seed"], golden["hidden_size"])
+    if golden_cfg != (args.app, args.steps, args.seed, args.hidden_size):
         print(f"config mismatch: trace was recorded with "
-              f"steps={golden['steps']} seed={golden['seed']} "
-              f"hidden_size={golden['hidden_size']}")
+              f"app/steps/seed/hidden_size={golden_cfg}")
         return 2
     worst = 0.0
     for i, (got, want) in enumerate(zip(trace, golden["trace"])):
