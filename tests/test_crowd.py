@@ -503,3 +503,54 @@ def test_dnn_use_norm_asymmetric_baseline(tmp_path):
     assert "GroupNorm" in d_keys
     assert "GroupNorm" not in dnn_keys
     assert np.isfinite(exp.evaluate(use_dnn=True)["MAE"])
+
+
+def test_sharded_sampling_covers_all_examples(tmp_path):
+    """Over many steps, the sharded sampler must reach every example of
+    every device's shard — stratified-uniform sampling over the global
+    dataset, not a frozen subset (VERDICT r1 item 8: 'training still
+    matches the replicated path statistically')."""
+    import jax
+    from srgan_tpu.apps.crowd import CrowdExperiment
+    from srgan_tpu.train import init_train_state
+
+    settings = Settings(
+        trial_name="cover", logs_directory=str(tmp_path / "logs"),
+        batch_size=8, labeled_dataset_size=16, unlabeled_dataset_size=16,
+        validation_dataset_size=2, crowd_image_height=64,
+        crowd_image_width=64, image_patch_size=32, crowd_sigma=3.0,
+        model_base_width=8, latent_dimension=16, seed=0,
+        crowd_shard_dataset=True)
+    exp = CrowdExperiment(settings)
+    exp.dataset_setup()
+    models, d, g, dnn = exp.model_setup()
+    exp.models = models
+    exp.state = init_train_state(exp.settings, d, g, dnn)
+    exp.prepare_mesh()
+    exp.prepare_train_step()
+
+    # Patterned database: example i is the constant value i → a sampled
+    # patch identifies its source example exactly.
+    import jax.numpy as jnp
+    from srgan_tpu.parallel import mesh as pmesh
+    n = len(exp.labeled_db)
+    patterned = np.broadcast_to(
+        np.arange(n, dtype=np.uint8)[:, None, None, None],
+        exp.labeled_db.images.shape).copy()
+    data = dict(exp._device_data)
+    data["labeled_images"] = jax.device_put(
+        patterned, pmesh.batch_sharding(exp.mesh))
+
+    rng = np.random.default_rng(0)
+    seen = set()
+    hw = exp.labeled_db.image_size
+    for _ in range(40):
+        idx, offs, flips = exp._random_patch_args(
+            rng, exp._labeled_index_bound, hw, 8)
+        patches, _, _ = exp._sample_batch(
+            data["labeled_images"], data["labeled_density"],
+            data["unlabeled_images"], idx, offs, flips, idx, offs, flips)
+        vals = np.asarray(jax.device_get(patches))[:, 0, 0, 0]
+        # invert the kernel's u8 normalization: v*2/255 - 1 → example id
+        seen.update(int(round((v + 1.0) * 255.0 / 2.0)) for v in vals)
+    assert seen == set(range(n)), f"unreached examples: {set(range(n)) - seen}"
