@@ -335,6 +335,8 @@ class Experiment:
             chunk = dataset.examples[start:start + bs]
             pad = bs - len(chunk)
             if pad:
+                # Device-side shapes stay static (one compiled program for
+                # every chunk); only this HOST concat is tail-shaped.
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], pad, axis=0)], axis=0)
             x = pmesh.shard_batch(self.mesh, chunk)

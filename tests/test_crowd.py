@@ -554,3 +554,27 @@ def test_sharded_sampling_covers_all_examples(tmp_path):
         # invert the kernel's u8 normalization: v*2/255 - 1 → example id
         seen.update(int(round((v + 1.0) * 255.0 / 2.0)) for v in vals)
     assert seen == set(range(n)), f"unreached examples: {set(range(n)) - seen}"
+
+
+def test_sharded_dataset_resume_roundtrip(tmp_path):
+    """Checkpoint + resume with the database sharded over 'data': state
+    restores into the sharded-pipeline trial and training continues."""
+    import jax
+    from srgan_tpu.apps.crowd import CrowdExperiment
+
+    base = dict(
+        trial_name="shardresume", logs_directory=str(tmp_path / "logs"),
+        batch_size=8, labeled_dataset_size=16, unlabeled_dataset_size=16,
+        validation_dataset_size=2, crowd_image_height=64,
+        crowd_image_width=64, image_patch_size=32, crowd_sigma=3.0,
+        model_base_width=8, latent_dimension=16, seed=0,
+        crowd_shard_dataset=True)
+    first = CrowdExperiment(Settings(steps_to_run=2,
+                                     summary_step_period=2, **base))
+    first.train()
+    resumed = CrowdExperiment(Settings(
+        steps_to_run=5, summary_step_period=2,
+        load_model_path=first.trial_directory, **base))
+    state = resumed.train()
+    assert int(jax.device_get(state.step)) == 5
+    assert np.isfinite(resumed.evaluate()["MAE"])
