@@ -131,6 +131,34 @@ class CrowdExperiment(Experiment):
         return (self.settings.crowd_shard_dataset and self.mesh.size > 1
                 and not self.settings.crowd_host_pipeline)
 
+    def _check_hbm_budget(self) -> None:
+        """Warn with actionable guidance before an opaque device OOM.
+
+        The HBM-resident tier must leave room for model/optimizer state
+        and activations; when the training splits approach the
+        per-device budget, point at the two designed escape hatches
+        (``crowd_shard_dataset`` scales capacity with mesh size;
+        ``crowd_host_pipeline`` streams from the host via the native C++
+        prefetcher).
+        """
+        db_bytes = (self.labeled_db.images.nbytes
+                    + self._stacked_labels().nbytes
+                    + self.unlabeled_db.images.nbytes)
+        if self._shard_dataset:
+            db_bytes = -(-db_bytes // self.mesh.size)
+        stats = getattr(jax.devices()[0], "memory_stats", lambda: None)()
+        limit = (stats or {}).get("bytes_limit")
+        if limit is None:
+            return  # backend doesn't report capacity (e.g. CPU tests)
+        if db_bytes > 0.6 * limit:
+            import warnings
+            warnings.warn(
+                f"crowd database needs {db_bytes / 1e9:.1f} GB of the "
+                f"{limit / 1e9:.1f} GB per-device HBM; consider "
+                f"crowd_shard_dataset=True (capacity scales with mesh "
+                f"size) or crowd_host_pipeline=True (native host "
+                f"streaming)", stacklevel=3)
+
     def _upload_databases(self) -> None:
         """Place split arrays in device HBM once (float32; raw 0..255).
 
@@ -152,6 +180,7 @@ class CrowdExperiment(Experiment):
         }
         if self.settings.crowd_host_pipeline:
             return
+        self._check_hbm_budget()
         if self._shard_dataset:
             d = self.mesh.size
 

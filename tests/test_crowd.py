@@ -578,3 +578,31 @@ def test_sharded_dataset_resume_roundtrip(tmp_path):
     state = resumed.train()
     assert int(jax.device_get(state.step)) == 5
     assert np.isfinite(resumed.evaluate()["MAE"])
+
+
+def test_hbm_budget_warning(monkeypatch, tmp_path):
+    """Near-capacity databases produce actionable guidance, not a later
+    opaque device OOM."""
+    import jax
+    from srgan_tpu.apps.crowd import CrowdExperiment
+    from srgan_tpu.train import init_train_state
+
+    exp = CrowdExperiment(Settings(
+        trial_name="hbm", logs_directory=str(tmp_path / "logs"),
+        batch_size=8, labeled_dataset_size=6, unlabeled_dataset_size=8,
+        validation_dataset_size=2, crowd_image_height=64,
+        crowd_image_width=64, image_patch_size=32, crowd_sigma=3.0,
+        model_base_width=8, latent_dimension=16))
+    exp.dataset_setup()
+    models, d, g, dnn = exp.model_setup()
+    exp.models = models
+    exp.state = init_train_state(exp.settings, d, g, dnn)
+    exp.prepare_mesh()
+
+    class FakeDevice:
+        def memory_stats(self):
+            return {"bytes_limit": 1}  # tiny budget → must warn
+
+    monkeypatch.setattr(jax, "devices", lambda *a: [FakeDevice()])
+    with pytest.warns(UserWarning, match="crowd_shard_dataset"):
+        exp._check_hbm_budget()
