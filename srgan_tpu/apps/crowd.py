@@ -141,11 +141,29 @@ class CrowdExperiment(Experiment):
         ``crowd_host_pipeline`` streams from the host via the native C++
         prefetcher).
         """
-        db_bytes = (self.labeled_db.images.nbytes
-                    + self._stacked_labels().nbytes
-                    + self.unlabeled_db.images.nbytes)
+        # Sizes computed arithmetically — _stacked_labels() would
+        # materialize a full [N,H,W,2] host copy just to read .nbytes on
+        # exactly the multi-GB path this warning serves.
+        label_bytes = self.labeled_db.density_maps.nbytes
+        if self.uses_aux_target:
+            label_bytes += self.labeled_db.aux_maps.nbytes
+        train_arrays = [self.labeled_db.images.nbytes, label_bytes,
+                        self.unlabeled_db.images.nbytes]
         if self._shard_dataset:
-            db_bytes = -(-db_bytes // self.mesh.size)
+            # Per-device shard of each array, including the cyclic pad to
+            # a mesh multiple (what _upload_databases actually uploads).
+            d = self.mesh.size
+
+            def shard_bytes(total, n):
+                return -(-n // d) * (total // max(n, 1))
+
+            train_arrays = [
+                shard_bytes(train_arrays[0], len(self.labeled_db)),
+                shard_bytes(train_arrays[1], len(self.labeled_db)),
+                shard_bytes(train_arrays[2], len(self.unlabeled_db)),
+            ]
+        # The validation split is replicated to every device on all paths.
+        db_bytes = sum(train_arrays) + self.validation_db.images.nbytes
         stats = getattr(jax.devices()[0], "memory_stats", lambda: None)()
         limit = (stats or {}).get("bytes_limit")
         if limit is None:
@@ -477,12 +495,13 @@ class CrowdExperiment(Experiment):
     # host↔device round trip each (expensive over a remote chip).
     EVAL_CHUNK_IMAGES = 8
 
-    def predict_image_counts(self, use_dnn: bool = False,
+    def predict_image_counts(self, use_dnn: Optional[bool] = None,
                              db: Optional[CrowdDatabase] = None
                              ) -> np.ndarray:
         """Full-image counts for a split (default: validation): grid
         patches → predicted maps → overlap-averaged canvas → Σ. Several
         images' grids are batched into each device call."""
+        use_dnn = self._resolve_use_dnn(use_dnn)
         p = self.settings.image_patch_size
         f = DENSITY_DOWNSAMPLE
         use_cached_images = db is None or db is self.validation_db
@@ -540,7 +559,7 @@ class CrowdExperiment(Experiment):
                               step)
 
     def evaluate(self, dataset: Optional[CrowdDatabase] = None,
-                 use_dnn: bool = False) -> Dict[str, float]:
+                 use_dnn: Optional[bool] = None) -> Dict[str, float]:
         """Grid-evaluate ``dataset`` (a CrowdDatabase; default the
         validation split). ``Experiment.test()`` routes the test split
         through here — test MAE is computed on the test images, never

@@ -321,10 +321,17 @@ class Experiment:
             writer.add_scalar(key, value)
 
     # ------------------------------------------------------------ validation
-    def predict(self, dataset: ArrayDataset, use_dnn: bool = False
-                ) -> np.ndarray:
+    def _resolve_use_dnn(self, use_dnn: Optional[bool]) -> bool:
+        """None → the trial's trained model: the DNN for ``dnn_only``
+        trials (whose discriminator params are untrained init noise),
+        else the SR-GAN discriminator."""
+        return self.settings.dnn_only if use_dnn is None else use_dnn
+
+    def predict(self, dataset: ArrayDataset,
+                use_dnn: Optional[bool] = None) -> np.ndarray:
         """Batched full-dataset prediction with static batch shapes
         (tail batch padded then truncated)."""
+        use_dnn = self._resolve_use_dnn(use_dnn)
         settings = self.settings
         eval_fn = self._eval_dnn if use_dnn else self._eval_d
         params = (self.state.dnn_params if use_dnn else self.state.d_params)
@@ -355,6 +362,8 @@ class Experiment:
                                 (True, self.dnn_summary_writer)):
             if use_dnn and self._eval_dnn is None:
                 continue
+            if not use_dnn and self.settings.dnn_only:
+                continue  # dnn_only trials: the D is untrained init noise
             preds = self.predict(self.validation_dataset, use_dnn=use_dnn)
             writer.add_scalar("validation/MAE",
                               float(metrics.mae(preds, labels)), step)
@@ -364,17 +373,24 @@ class Experiment:
                               float(metrics.nve(preds, labels)), step)
 
     def evaluate(self, dataset: Optional[ArrayDataset] = None,
-                 use_dnn: bool = False) -> Dict[str, float]:
+                 use_dnn: Optional[bool] = None) -> Dict[str, float]:
         """Explicit eval entry point (SURVEY.md §3.5 recommends exposing the
-        reference's implicit validation path as `Experiment.evaluate()`)."""
-        dataset = dataset or self.validation_dataset
+        reference's implicit validation path as `Experiment.evaluate()`).
+
+        ``use_dnn=None`` evaluates the trial's trained model (the DNN for
+        ``dnn_only`` trials, else the SR-GAN discriminator).
+        """
+        dataset = dataset if dataset is not None else self.validation_dataset
+        if len(dataset) == 0:
+            raise ValueError("cannot evaluate an empty dataset (a len-0 "
+                             "split must not silently alias validation)")
         preds = self.predict(dataset, use_dnn=use_dnn)
         labels = dataset.labels
         return {"MAE": float(metrics.mae(preds, labels)),
                 "RMSE": float(metrics.rmse(preds, labels)),
                 "NVE": float(metrics.nve(preds, labels))}
 
-    def test(self, use_dnn: bool = False) -> Dict[str, float]:
+    def test(self, use_dnn: Optional[bool] = None) -> Dict[str, float]:
         """Final held-out evaluation on the test split.
 
         When the app provides no separate test set the fallback to the

@@ -84,3 +84,40 @@ def test_preset_applies_with_override_precedence(tmp_path, capsys):
 def test_unknown_preset_lists_choices():
     with pytest.raises(SystemExit, match="coefficient_win"):
         main(["coefficient", "--preset", "nope"])
+
+
+def test_dnn_only_reports_trained_model_metrics(tmp_path):
+    """dnn_only trials must evaluate the TRAINED supervised model by
+    default — not the untrained discriminator init (which is what
+    use_dnn=False would measure)."""
+    from srgan_tpu.apps.coefficient import CoefficientExperiment
+    from srgan_tpu.settings import Settings
+
+    s = Settings(trial_name="dnnonly", logs_directory=str(tmp_path / "l"),
+                 batch_size=8, steps_to_run=60, summary_step_period=60,
+                 labeled_dataset_size=64, unlabeled_dataset_size=16,
+                 validation_dataset_size=64, hidden_size=16,
+                 learning_rate=3e-3, dnn_only=True)
+    exp = CoefficientExperiment(s)
+    exp.train()
+    default = exp.evaluate()["MAE"]
+    dnn = exp.evaluate(use_dnn=True)["MAE"]
+    d = exp.evaluate(use_dnn=False)["MAE"]
+    assert default == dnn
+    assert dnn < d  # trained baseline beats the untrained D init
+    assert exp.test()["MAE"] == exp.test(use_dnn=True)["MAE"]
+
+
+def test_empty_test_split_refuses(tmp_path):
+    from srgan_tpu.apps.coefficient import CoefficientExperiment
+    from srgan_tpu.settings import Settings
+
+    s = Settings(trial_name="emptytest", logs_directory=str(tmp_path / "l"),
+                 batch_size=8, steps_to_run=2, summary_step_period=2,
+                 labeled_dataset_size=16, unlabeled_dataset_size=16,
+                 validation_dataset_size=8, test_dataset_size=0,
+                 hidden_size=8)
+    exp = CoefficientExperiment(s)
+    exp.train()
+    with pytest.raises(ValueError, match="empty"):
+        exp.test()

@@ -29,12 +29,11 @@ def test_committed_trace_reproduces(name):
     trace = golden_trace.run_trace(golden["steps"], golden["seed"],
                                    golden["hidden_size"],
                                    golden.get("app", "coefficient"))
-    for i, (got, want) in enumerate(zip(trace, golden["trace"])):
-        for key, want_v in want.items():
-            # 1e-4 relative absorbs legitimate cross-environment drift
-            # (traces are recorded on a 1-device CPU; the suite runs on 8
-            # virtual devices, where XLA schedules reductions differently
-            # — measured ~1e-5 by step 4 on the conv path) while still
-            # catching any real numerics change.
-            assert abs(got[key] - want_v) <= 1e-5 + 1e-4 * abs(want_v), (
-                f"step {i} {key}: {got[key]!r} vs golden {want_v!r}")
+    # 1e-4 relative absorbs legitimate cross-environment drift (traces
+    # are recorded on a 1-device CPU; the suite runs on 8 virtual
+    # devices, where XLA schedules reductions differently — measured
+    # ~1e-5 by step 4 on the conv path) while still catching any real
+    # numerics change. Comparison semantics shared with the CLI.
+    mismatch = golden_trace.compare_traces(trace, golden["trace"],
+                                           rtol=1e-4, atol=1e-5)
+    assert mismatch is None, mismatch

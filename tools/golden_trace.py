@@ -123,6 +123,22 @@ def run_trace(steps: int, seed: int, hidden_size: int,
     return trace
 
 
+def compare_traces(trace: list, golden_trace: list, rtol: float,
+                   atol: float) -> Optional[str]:
+    """None if every step/metric matches within tolerance, else a
+    description of the first mismatch. Single source of 'reproduces' —
+    the CLI and tests/test_golden_trace.py both use it."""
+    if len(trace) != len(golden_trace):
+        return (f"length mismatch: {len(trace)} steps vs golden "
+                f"{len(golden_trace)}")
+    for i, (got, want) in enumerate(zip(trace, golden_trace)):
+        for key, want_v in want.items():
+            got_v = got[key]
+            if not (abs(got_v - want_v) <= atol + rtol * abs(want_v)):
+                return (f"step {i} {key}: {got_v!r} vs golden {want_v!r}")
+    return None
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     parser.add_argument("mode", choices=["record", "compare"])
@@ -138,8 +154,9 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
 
     _force_cpu()
-    trace = run_trace(args.steps, args.seed, args.hidden_size, args.app)
     if args.mode == "record":
+        trace = run_trace(args.steps, args.seed, args.hidden_size,
+                          args.app)
         out = args.out or "golden_trace.json"
         with open(out, "w") as f:
             json.dump({"app": args.app, "steps": args.steps,
@@ -151,25 +168,19 @@ def main(argv=None) -> int:
 
     if not args.trace:
         parser.error("compare requires --trace")
+    # Config comes from the recorded file — loaded BEFORE the (possibly
+    # minutes-long) run, so a mismatch can't waste a full re-run and the
+    # caller never has to re-supply app/steps/seed.
     with open(args.trace) as f:
         golden = json.load(f)
-    golden_cfg = (golden.get("app", "coefficient"), golden["steps"],
-                  golden["seed"], golden["hidden_size"])
-    if golden_cfg != (args.app, args.steps, args.seed, args.hidden_size):
-        print(f"config mismatch: trace was recorded with "
-              f"app/steps/seed/hidden_size={golden_cfg}")
-        return 2
-    worst = 0.0
-    for i, (got, want) in enumerate(zip(trace, golden["trace"])):
-        for key, want_v in want.items():
-            got_v = got[key]
-            err = abs(got_v - want_v) / max(abs(want_v), args.atol)
-            worst = max(worst, err)
-            if abs(got_v - want_v) > args.atol + args.rtol * abs(want_v):
-                print(f"MISMATCH step {i} {key}: {got_v!r} vs "
-                      f"golden {want_v!r}")
-                return 1
-    print(f"trace matches ({args.steps} steps, worst rel err {worst:.2e})")
+    trace = run_trace(golden["steps"], golden["seed"],
+                      golden["hidden_size"],
+                      golden.get("app", "coefficient"))
+    mismatch = compare_traces(trace, golden["trace"], args.rtol, args.atol)
+    if mismatch:
+        print(f"MISMATCH {mismatch}")
+        return 1
+    print(f"trace matches ({golden['steps']} steps)")
     return 0
 
 
