@@ -14,7 +14,7 @@ from typing import Dict
 PRESETS: Dict[str, Dict] = {
     # The demonstrated semi-supervised win regime on the coefficient toy
     # (BASELINE.md "Semi-supervised win": GAN D beats the DNN baseline,
-    # 4/5 seeds at 4000 steps, paired t ≈ -2.3 over 24 sweep seeds).
+    # 7/10 seeds at 4000 steps, paired t ≈ -2.3 over 24 sweep seeds).
     "coefficient_win": dict(
         batch_size=32, labeled_dataset_size=16,
         unlabeled_dataset_size=5000, validation_dataset_size=2000,

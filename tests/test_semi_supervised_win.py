@@ -7,7 +7,7 @@ regime helps (confirmed at 16 seeds/64 combos by tools/sweep.py). The win
 regime found by the round-2 sweep — an over-parameterized regressor
 (hidden 100) overfitting few labels, regularized by the unlabeled
 feature-matching stream — replicates with paired t ≈ −2.3 at 24 seeds
-(BASELINE.md table) and through the real CoefficientExperiment (4/5
+(BASELINE.md table) and through the real CoefficientExperiment (7/10
 seeds at 4000 steps). This test pins one deterministic instance of that
 through the PUBLIC API. (Ref: srgan.py three-stream objective [A],
 SURVEY.md §2 component 3 / §6 north star; arXiv:1811.11269.)
