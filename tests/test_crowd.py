@@ -606,3 +606,43 @@ def test_hbm_budget_warning(monkeypatch, tmp_path):
     monkeypatch.setattr(jax, "devices", lambda *a: [FakeDevice()])
     with pytest.warns(UserWarning, match="crowd_shard_dataset"):
         exp._check_hbm_budget()
+
+
+def test_full_chain_preprocess_cli_to_training(tmp_path):
+    """The real-data user path end to end: raw annotation directory →
+    preprocess CLI → {labeled,unlabeled,validation,test}.npz database →
+    CrowdExperiment(crowd_database_path=...) training → held-out test —
+    the exact chain a reference user runs with UCF-QNRF."""
+    import jax
+    from srgan_tpu.data.crowd import main as preprocess_main
+    from srgan_tpu.apps.crowd import CrowdExperiment
+
+    rng = np.random.default_rng(0)
+    db_dir = tmp_path / "db"
+    db_dir.mkdir()
+    for split, n in (("labeled", 4), ("unlabeled", 4),
+                     ("validation", 2), ("test", 2)):
+        raw = tmp_path / f"raw_{split}"
+        raw.mkdir()
+        for i in range(n):
+            _write_image(raw / f"img_{i:04d}.jpg", h=48, w=48)
+            heads = rng.uniform(5, 40, size=(int(rng.integers(1, 6)), 2))
+            savemat(raw / f"img_{i:04d}_ann.mat", {"annPoints": heads})
+        rc = preprocess_main([str(raw), str(db_dir / f"{split}.npz"),
+                              "--database", "ucf_qnrf", "--height", "64",
+                              "--width", "64", "--sigma", "3.0"])
+        assert rc == 0
+
+    settings = Settings(
+        trial_name="fullchain", logs_directory=str(tmp_path / "logs"),
+        batch_size=8, steps_to_run=2, summary_step_period=2,
+        crowd_database_path=str(db_dir), image_patch_size=32,
+        model_base_width=8, latent_dimension=16, seed=0)
+    exp = CrowdExperiment(settings)
+    state = exp.train()
+    assert int(jax.device_get(state.step)) == 2
+    assert len(exp.labeled_db) == 4 and len(exp.test_db) == 2
+    val = exp.evaluate()
+    test = exp.test()
+    assert np.isfinite(val["MAE"]) and np.isfinite(test["MAE"])
+    assert test["MAE"] != val["MAE"]  # genuinely distinct split
