@@ -171,3 +171,89 @@ class TestImageApps:
         samples = glob.glob(os.path.join(
             exp.trial_directory, "GAN", "images", "generated_sample_*.png"))
         assert samples
+
+
+class TestDatabasePathChains:
+    """The real-data user chains: offline preprocess → .npz →
+    Experiment(..._database_path=...) training (previously only the
+    synthetic fallbacks were exercised end to end)."""
+
+    def test_age_preprocess_cli_to_training(self, tmp_path):
+        import jax
+        from srgan_tpu.data.age import main as age_main
+        from srgan_tpu.apps.age import AgeExperiment
+        from srgan_tpu.settings import Settings
+
+        # Raw IMDB-WIKI-style layout: wiki.mat + image files.
+        n = 24
+        rng = np.random.default_rng(0)
+        (tmp_path / "00").mkdir()
+        full_path = np.empty((1, n), object)
+        for i in range(n):
+            rel = f"00/img_{i}.jpg"
+            Image.fromarray(rng.integers(0, 255, (20, 20, 3)).astype(
+                np.uint8)).save(tmp_path / rel)
+            full_path[0, i] = np.array([rel])
+        wiki = np.zeros((1, 1), dtype=[
+            ("dob", object), ("photo_taken", object),
+            ("full_path", object), ("face_score", object),
+            ("second_face_score", object)])
+        wiki[0, 0] = (np.full((1, n), 693962.0),        # dob ~1900
+                      np.full((1, n), 1950.0),          # photo 1950
+                      full_path,
+                      np.full((1, n), 2.0),             # good faces
+                      np.full((1, n), np.nan))
+        savemat(tmp_path / "wiki.mat", {"wiki": wiki})
+
+        out = tmp_path / "age.npz"
+        rc = age_main([str(tmp_path), str(tmp_path / "wiki.mat"),
+                       str(out), "--image-size", "32"])
+        assert rc == 0
+
+        settings = Settings(
+            trial_name="agechain", logs_directory=str(tmp_path / "logs"),
+            batch_size=8, steps_to_run=2, summary_step_period=2,
+            age_database_path=str(out), age_image_size=32,
+            labeled_dataset_size=8, unlabeled_dataset_size=8,
+            validation_dataset_size=4, test_dataset_size=4,
+            model_base_width=8, latent_dimension=16)
+        exp = AgeExperiment(settings)
+        state = exp.train()
+        assert int(jax.device_get(state.step)) == 2
+        assert len(exp.test_dataset) == 4
+        assert np.isfinite(exp.test()["MAE"])
+
+    def test_driving_npz_to_training(self, tmp_path):
+        import jax
+        from srgan_tpu.data.driving import load_driving_recording
+        from srgan_tpu.apps.driving import DrivingExperiment
+        from srgan_tpu.settings import Settings
+
+        # Raw recording → arrays (the offline step) → one .npz database.
+        frames = tmp_path / "frames"
+        frames.mkdir()
+        rng = np.random.default_rng(0)
+        rows = []
+        for i in range(25):
+            name = f"f{i}.jpg"
+            Image.fromarray(rng.integers(0, 255, (20, 30, 3)).astype(
+                np.uint8)).save(frames / name)
+            rows.append(f"{name},{0.05 * i}\n")
+        (tmp_path / "steering.csv").write_text("".join(rows))
+        examples, labels = load_driving_recording(
+            str(frames), str(tmp_path / "steering.csv"), image_size=32,
+            frame_stack=1)
+        np.savez(tmp_path / "driving.npz", examples=examples,
+                 labels=labels)
+
+        settings = Settings(
+            trial_name="drivechain", logs_directory=str(tmp_path / "l"),
+            batch_size=8, steps_to_run=2, summary_step_period=2,
+            driving_database_path=str(tmp_path / "driving.npz"),
+            age_image_size=32, labeled_dataset_size=9,
+            unlabeled_dataset_size=8, validation_dataset_size=4,
+            test_dataset_size=4, model_base_width=8, latent_dimension=16)
+        exp = DrivingExperiment(settings)
+        state = exp.train()
+        assert int(jax.device_get(state.step)) == 2
+        assert np.isfinite(exp.test()["MAE"])
