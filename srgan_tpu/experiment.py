@@ -175,6 +175,12 @@ class Experiment:
         self.prepare_mesh()
         self.prepare_train_step()
         self.state = checkpoint.restore_state(self.state, trial_directory)
+        # Restored arrays land on a single device; replicate them over the
+        # mesh so eval fns without explicit in_shardings (e.g. the crowd
+        # grid-eval jits, whose PATCH inputs are batch-sharded) don't see
+        # incompatible placements.
+        self.state = jax.device_put(self.state,
+                                    pmesh.replicated_sharding(self.mesh))
         return self.state
 
     # ------------------------------------------------------------- training

@@ -646,3 +646,28 @@ def test_full_chain_preprocess_cli_to_training(tmp_path):
     test = exp.test()
     assert np.isfinite(val["MAE"]) and np.isfinite(test["MAE"])
     assert test["MAE"] != val["MAE"]  # genuinely distinct split
+
+
+def test_crowd_prepare_for_evaluation_restores(tmp_path):
+    """evaluate_only flow on crowd: a fresh experiment restores the saved
+    trial and grid-evaluates to the same numbers (the reference's
+    load-then-evaluate mode, through the crowd patch-grid path)."""
+    import jax
+    from srgan_tpu.apps.crowd import CrowdExperiment
+
+    base = dict(
+        trial_name="evalonly", logs_directory=str(tmp_path / "logs"),
+        batch_size=8, steps_to_run=3, summary_step_period=2,
+        labeled_dataset_size=6, unlabeled_dataset_size=8,
+        validation_dataset_size=3, crowd_image_height=64,
+        crowd_image_width=64, image_patch_size=32, crowd_sigma=3.0,
+        model_base_width=8, latent_dimension=16, seed=0)
+    trained = CrowdExperiment(Settings(**base))
+    trained.train()
+    want = trained.evaluate()
+
+    fresh = CrowdExperiment(Settings(**base))
+    state = fresh.prepare_for_evaluation(trained.trial_directory)
+    assert int(jax.device_get(state.step)) == 3
+    got = fresh.evaluate()
+    assert got["MAE"] == pytest.approx(want["MAE"], rel=1e-5)
