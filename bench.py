@@ -75,14 +75,14 @@ def main() -> None:
     hw = exp.labeled_db.image_size
 
     def one_step(key):
-        idx, offs, flips = exp._random_patch_args(
+        idx, offs, flips, sidx = exp._random_patch_args(
             rng, len(exp.labeled_db), hw, BATCH)
-        uidx, uoffs, uflips = exp._random_patch_args(
+        uidx, uoffs, uflips, usidx = exp._random_patch_args(
             rng, len(exp.unlabeled_db), hw, BATCH)
         patches, density, upatches = exp._sample_batch(
             data["labeled_images"], data["labeled_density"],
-            data["unlabeled_images"], idx, offs, flips,
-            uidx, uoffs, uflips)
+            data["unlabeled_images"], idx, offs, flips, sidx,
+            uidx, uoffs, uflips, usidx)
         exp.state, metrics = exp._train_step(
             exp.state, patches, density, upatches, key)
         return metrics

@@ -103,18 +103,34 @@ def main(argv=None) -> int:
         if not settings.load_model_path:
             raise SystemExit("--evaluate_only requires --load_model_path")
         experiment.prepare_for_evaluation(settings.load_model_path)
-        print(json.dumps(experiment.evaluate()))
+        result = {"validation": experiment.evaluate()}
+        _add_test_metrics(experiment, result)
+        print(json.dumps(result))
         return 0
     experiment.train()
     result = {"trial_directory": experiment.trial_directory,
               "validation": experiment.evaluate()}
-    if experiment.test_dataset is not None:
-        # Final held-out numbers (the reference's headline metrics are
-        # test-split MAE/NVE); apps without a test split report
-        # validation only — never silently aliased (experiment.py).
-        result["test"] = experiment.test()
+    _add_test_metrics(experiment, result)
     print(json.dumps(result))
     return 0
+
+
+def _add_test_metrics(experiment, result: dict) -> None:
+    """Attach held-out test metrics when a non-empty test split exists.
+
+    Final held-out numbers (the reference's headline metrics are
+    test-split MAE/NVE); apps without a test split report validation
+    only — never silently aliased (experiment.py). An EMPTY test split
+    (e.g. --test_dataset_size 0) reports ``"test": null`` rather than
+    crashing after a full training run (Experiment.evaluate raises on
+    len-0 datasets).
+    """
+    if experiment.test_dataset is None:
+        return
+    if len(experiment.test_dataset) == 0:
+        result["test"] = None
+        return
+    result["test"] = experiment.test()
 
 
 if __name__ == "__main__":

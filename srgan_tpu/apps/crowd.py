@@ -26,12 +26,28 @@ from srgan_tpu import metrics
 from srgan_tpu.data.crowd import (CrowdDatabase, synthetic_crowd_database)
 from srgan_tpu.experiment import Experiment
 from srgan_tpu.models.crowd import CROWD_MODELS, CrowdDCGenerator
-from srgan_tpu.ops.patches import extract_patches
+from srgan_tpu.ops.patches import extract_patches, extract_rescaled_patches
 from srgan_tpu.parallel import mesh as pmesh
 from srgan_tpu.train import ModelBundle
 from srgan_tpu.utils.seeding import key_for
 
 DENSITY_DOWNSAMPLE = 4  # JointCNN heads emit 1/4-resolution maps
+
+
+def shard_local_counts(n: int, num_shards: int) -> np.ndarray:
+    """True (un-padded) example count per contiguous shard of a length-n
+    array cyclically padded to a multiple of ``num_shards``.
+
+    Shard s holds rows [s*per, (s+1)*per); rows ≥ n are cyclic-pad
+    duplicates. Sampling local indices below the true count keeps the
+    duplicates out of the sample distribution (they would double-weight
+    the wrapped-around examples — ADVICE r2). Shards that are entirely
+    padding (n < num_shards) keep bound 1: their row 0 is itself a
+    duplicate, so sampling it is the only option.
+    """
+    per = -(-n // num_shards)
+    counts = n - np.arange(num_shards, dtype=np.int64) * per
+    return np.maximum(np.minimum(counts, per), 1).astype(np.int64)
 
 
 def sum_pool(x: jax.Array, factor: int) -> jax.Array:
@@ -55,6 +71,8 @@ class CrowdExperiment(Experiment):
         self._eval_patches = None
         self._labeled_index_bound = 0
         self._unlabeled_index_bound = 0
+        self._labeled_local_counts = None
+        self._unlabeled_local_counts = None
 
     # ------------------------------------------------------------ datasets
     def _load_databases(self) -> Tuple[CrowdDatabase, CrowdDatabase,
@@ -208,13 +226,22 @@ class CrowdExperiment(Experiment):
 
             put_sharded = lambda a: jax.device_put(
                 pad(a), pmesh.batch_sharding(self.mesh))
-            # Per-shard index space for the host-side samplers.
+            # Per-shard index space for the host-side samplers. The
+            # per-shard TRUE counts exclude cyclic-pad duplicates from
+            # the sample distribution (non-divisible splits would
+            # otherwise double-weight the wrapped examples).
             self._labeled_index_bound = -(-len(self.labeled_db) // d)
             self._unlabeled_index_bound = -(-len(self.unlabeled_db) // d)
+            self._labeled_local_counts = shard_local_counts(
+                len(self.labeled_db), d)
+            self._unlabeled_local_counts = shard_local_counts(
+                len(self.unlabeled_db), d)
             put = put_sharded
         else:
             self._labeled_index_bound = len(self.labeled_db)
             self._unlabeled_index_bound = len(self.unlabeled_db)
+            self._labeled_local_counts = None
+            self._unlabeled_local_counts = None
         # With an aux training target the label tensor carries BOTH
         # maps ([..., 0] density for counts, [..., 1] aux target) so
         # one kernel pass extracts consistent patches of each.
@@ -348,26 +375,66 @@ class CrowdExperiment(Experiment):
         return loss_fn
 
     # ------------------------------------------------------ batch pipeline
+    @property
+    def _rescale_windows(self) -> Tuple[int, ...]:
+        """Static source-window sides for random-rescale augmentation
+        (empty → augmentation off)."""
+        p = self.settings.image_patch_size
+        return tuple(int(round(p * f))
+                     for f in self.settings.crowd_rescale_factors)
+
     def prepare_train_step(self) -> None:
         super().prepare_train_step()
         self._upload_databases()
         if self.settings.crowd_host_pipeline:
             self._prepare_host_pipeline()
         p = self.settings.image_patch_size
+        windows = self._rescale_windows
+        if windows:
+            if self.uses_aux_target:
+                raise ValueError(
+                    "crowd_rescale_factors requires crowd_label_type="
+                    "'density' — kNN/iKNN distance targets are not "
+                    "scale-covariant under patch resize")
+            if self.settings.crowd_host_pipeline:
+                raise ValueError(
+                    "crowd_rescale_factors is not supported with "
+                    "crowd_host_pipeline (the native prefetcher samples "
+                    "fixed-size patches); use the HBM-resident path")
+            if min(windows) < 1:
+                raise ValueError(
+                    f"crowd_rescale_factors produce degenerate windows "
+                    f"{windows} at patch size {p}")
 
         def sample_fn(labeled_images, labeled_density, unlabeled_images,
-                      idx, offs, flips, uidx, uoffs, uflips):
-            patches = extract_patches(
-                labeled_images, offs, flips, patch_size=p,
-                scale=2.0 / 255.0, shift=-1.0, indices=idx)
-            # label channels: [density] or [density, aux target]
-            labels = extract_patches(
-                labeled_density, offs, flips, patch_size=p, indices=idx)
+                      idx, offs, flips, sidx, uidx, uoffs, uflips, usidx):
+            if windows:
+                patches = extract_rescaled_patches(
+                    labeled_images, offs, flips, sidx, patch_size=p,
+                    window_sizes=windows, scale=2.0 / 255.0, shift=-1.0,
+                    indices=idx)
+                # density mass in the source window must survive the
+                # resize (count targets integrate the patch)
+                labels = extract_rescaled_patches(
+                    labeled_density, offs, flips, sidx, patch_size=p,
+                    window_sizes=windows, preserve_mass=True, indices=idx)
+                upatches = extract_rescaled_patches(
+                    unlabeled_images, uoffs, uflips, usidx, patch_size=p,
+                    window_sizes=windows, scale=2.0 / 255.0, shift=-1.0,
+                    indices=uidx)
+            else:
+                patches = extract_patches(
+                    labeled_images, offs, flips, patch_size=p,
+                    scale=2.0 / 255.0, shift=-1.0, indices=idx)
+                # label channels: [density] or [density, aux target]
+                labels = extract_patches(
+                    labeled_density, offs, flips, patch_size=p,
+                    indices=idx)
+                upatches = extract_patches(
+                    unlabeled_images, uoffs, uflips, patch_size=p,
+                    scale=2.0 / 255.0, shift=-1.0, indices=uidx)
             if labels.shape[-1] == 1:
                 labels = labels[..., 0]
-            upatches = extract_patches(
-                unlabeled_images, uoffs, uflips, patch_size=p,
-                scale=2.0 / 255.0, shift=-1.0, indices=uidx)
             return patches, labels, upatches
 
         if self.mesh.size > 1:
@@ -392,7 +459,7 @@ class CrowdExperiment(Experiment):
             sh = P("data")  # per-example sampling params / outputs
             sample_fn = shard_map(
                 sample_fn, mesh=self.mesh,
-                in_specs=(db, db, db, sh, sh, sh, sh, sh, sh),
+                in_specs=(db, db, db) + (sh,) * 8,
                 out_specs=(sh, sh, sh), **rep_kwargs)
         self._sample_batch = jax.jit(sample_fn)
         self._eval_patches = jax.jit(
@@ -410,16 +477,30 @@ class CrowdExperiment(Experiment):
         self._predict_density_dnn = jax.jit(
             lambda params, x: self.models.dnn_apply(params, x)[0][head])
 
-    def _random_patch_args(self, rng: np.random.Generator, n_images: int,
+    def _random_patch_args(self, rng: np.random.Generator, n_images,
                            image_hw: Tuple[int, int], batch: int):
+        """Sample ``(index, offset, flip, scale_idx)`` per example.
+
+        ``n_images``: scalar global bound, or a [batch] array of
+        per-position bounds (sharded datasets: each position's bound is
+        its shard's true local count). With rescale augmentation on, the
+        per-example source window is ``windows[scale_idx]`` and offsets
+        are bounded so the window stays in the image.
+        """
         h, w = image_hw
-        p = self.settings.image_patch_size
+        windows = self._rescale_windows
         idx = rng.integers(0, n_images, batch).astype(np.int32)
-        offs = np.stack([rng.integers(0, h - p + 1, batch),
-                         rng.integers(0, w - p + 1, batch)],
+        if windows:
+            sidx = rng.integers(0, len(windows), batch).astype(np.int32)
+            win = np.asarray(windows, np.int64)[sidx]
+        else:
+            sidx = np.zeros(batch, np.int32)
+            win = self.settings.image_patch_size
+        offs = np.stack([rng.integers(0, h - win + 1, batch),
+                         rng.integers(0, w - win + 1, batch)],
                         axis=-1).astype(np.int32)
         flips = rng.integers(0, 2, batch).astype(np.int32)
-        return idx, offs, flips
+        return idx, offs, flips, sidx
 
     def epoch_batch_iterators(self):
         if self.settings.crowd_host_pipeline:
@@ -435,19 +516,25 @@ class CrowdExperiment(Experiment):
         steps = self.steps_per_epoch()
 
         # Index bounds: global (replicated DB) or per-shard local
-        # (sharded DB) — set by _upload_databases.
+        # (sharded DB) — set by _upload_databases. Sharded: per-position
+        # bounds (the batch splits contiguously over shards under
+        # shard_map) so cyclic-pad duplicates are never sampled.
         n_lab, n_unl = self._labeled_index_bound, self._unlabeled_index_bound
+        if self._labeled_local_counts is not None:
+            share = batch // self.mesh.size
+            n_lab = np.repeat(self._labeled_local_counts, share)
+            n_unl = np.repeat(self._unlabeled_local_counts, share)
 
         def one_epoch():
             for _ in range(steps):
-                idx, offs, flips = self._random_patch_args(
+                idx, offs, flips, sidx = self._random_patch_args(
                     rng, n_lab, hw, batch)
-                uidx, uoffs, uflips = self._random_patch_args(
+                uidx, uoffs, uflips, usidx = self._random_patch_args(
                     rng, n_unl, uhw, batch)
                 yield self._sample_batch(
                     data["labeled_images"], data["labeled_density"],
-                    data["unlabeled_images"], idx, offs, flips,
-                    uidx, uoffs, uflips)
+                    data["unlabeled_images"], idx, offs, flips, sidx,
+                    uidx, uoffs, uflips, usidx)
 
         while True:
             yield one_epoch()
@@ -547,6 +634,12 @@ class CrowdExperiment(Experiment):
         true_counts = self.validation_db.head_counts
         for use_dnn, writer in ((False, self.gan_summary_writer),
                                 (True, self.dnn_summary_writer)):
+            if not use_dnn and self.settings.dnn_only:
+                # Mirror the base-class guard (experiment.py): under
+                # dnn_only the discriminator is untrained init noise —
+                # grid-evaluating it wastes a full sliding-grid pass and
+                # logs garbage as validation/MAE.
+                continue
             pred = self.predict_image_counts(use_dnn=use_dnn)
             writer.add_scalar("validation/MAE",
                               float(metrics.mae(pred, true_counts)), step)
@@ -565,6 +658,9 @@ class CrowdExperiment(Experiment):
         through here — test MAE is computed on the test images, never
         silently on validation."""
         db = dataset if dataset is not None else self.validation_db
+        if len(db) == 0:
+            raise ValueError("cannot evaluate an empty dataset (a len-0 "
+                             "split must not silently alias validation)")
         pred = self.predict_image_counts(use_dnn=use_dnn, db=db)
         true_counts = db.head_counts
         return {"MAE": float(metrics.mae(pred, true_counts)),

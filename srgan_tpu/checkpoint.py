@@ -90,4 +90,17 @@ def restore_state(template: Any, path: str) -> Any:
         path = found
     abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
     with ocp.StandardCheckpointer() as ckptr:
-        return ckptr.restore(path, abstract)
+        try:
+            return ckptr.restore(path, abstract)
+        except (ValueError, KeyError) as error:
+            # Orbax structure mismatches surface as opaque tree errors;
+            # the usual cause is restoring under different architecture
+            # settings than the trial was trained with (param module
+            # paths differ — e.g. norm_impl 'xla' creates GroupNorm_N
+            # while 'pallas' creates FusedGroupNormAct_N).
+            raise ValueError(
+                f"checkpoint at {path} does not match the current model "
+                f"structure. Restore with the SAME architecture settings "
+                f"the trial was trained with (norm_impl, crowd_model, "
+                f"model_base_width, dnn_use_norm, ...). Original error: "
+                f"{error}") from error

@@ -88,47 +88,30 @@ def _make_rows_kernel(sublane: int):
     return kernel
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("patch_size", "interpret"))
-def extract_patches(images: jax.Array, offsets: jax.Array,
-                    flips: jax.Array, *, patch_size: int,
-                    scale: float = 1.0, shift: float = 0.0,
-                    indices: jax.Array | None = None,
-                    interpret: bool = False) -> jax.Array:
-    """Extract per-example patches with flip + affine normalization.
+def _normalized_rows(images: jax.Array, indices: jax.Array, oy: jax.Array,
+                     *, window: int, scale: float, shift: float,
+                     interpret: bool):
+    """Shared Pallas row extraction: per-example normalized row bands.
 
-    Args:
-      images:  [N, H, W, C] (any float/int dtype; HBM-resident). With
-        ``indices`` given this is the WHOLE dataset and the kernel gathers
-        source images per output example (the on-device input queue:
-        sampling never copies a full image out of HBM).
-      offsets: [B, 2] int32 top-left (y, x); caller guarantees in-bounds.
-      flips:   [B] int32/bool horizontal-flip flags.
-      patch_size: static patch side P.
-      scale, shift: ``out = x * scale + shift`` (e.g. scale=2/255, shift=-1
-        for the reference's [-1, 1] image normalization).
-      indices: optional [B] int32 source-image index per output example;
-        defaults to ``arange(N)`` (B == N).
-
-    Returns: [B, P, P, C] float32.
+    For each output example, DMA ``window + sublane`` image rows from an
+    aligned base covering ``[oy, oy + window)`` HBM→VMEM and apply the
+    affine normalization. Returns ``(rows [B, window+sublane, W, C] f32,
+    dy [B] int32)`` where the wanted band starts at row ``dy``.
     """
-    # The Mosaic kernel only exists for TPU; on CPU backends (tests,
-    # multi-chip dry runs on virtual devices) fall back to the interpreter.
-    interpret = interpret or jax.default_backend() == "cpu"
     n, h, w, c = images.shape
-    p = patch_size
     sublane = _sublane_for(images.dtype)
-    rows_out = p + sublane
+    rows_out = window + sublane
     # The kernel promises Mosaic a sublane-aligned DMA base
     # (`pl.multiple_of`). The clamped base `h_eff - rows_out` is only
-    # aligned when (h - p) is a sublane multiple; otherwise pad H so the
-    # unclamped floor-aligned base is always in bounds. (A false alignment
-    # hint would mis-DMA on real TPUs — CPU interpret mode can't catch it.)
-    # Store datasets with (H - patch) % sublane == 0 to make the pad free.
-    pad_h = (sublane - (h - p) % sublane) % sublane
+    # aligned when (h - window) is a sublane multiple; otherwise pad H so
+    # the unclamped floor-aligned base is always in bounds. (A false
+    # alignment hint would mis-DMA on real TPUs — CPU interpret mode
+    # can't catch it.) Store datasets with (H - window) % sublane == 0 to
+    # make the pad free.
+    pad_h = (sublane - (h - window) % sublane) % sublane
     h_eff = h + pad_h
     if h_eff < rows_out:
-        raise ValueError(f"image height {h} must be ≥ patch_size + "
+        raise ValueError(f"image height {h} must be ≥ window + "
                          f"{sublane} = {rows_out} for dtype "
                          f"{images.dtype}")
     # The HBM row DMA takes full lanes, so the flattened row length W*C
@@ -136,19 +119,17 @@ def extract_patches(images: jax.Array, offsets: jax.Array,
     # pre-padded via `padded_row_length` to make this a no-op).
     wc = w * c
     wc_padded = -(-wc // _LANE) * _LANE
-    offsets = offsets.astype(jnp.int32)
-    if indices is None:
-        indices = jnp.arange(n, dtype=jnp.int32)
     indices = indices.astype(jnp.int32)
     b = indices.shape[0]
-    oy, ox = offsets[:, 0], offsets[:, 1]
+    oy = oy.astype(jnp.int32)
     # Both candidates are sublane multiples: the floor-alignment by
     # construction, the clamp bound because pad_h was chosen to make
-    # h_eff - rows_out = floor_align(h - p) (pad case) or h - p - sublane
-    # with (h - p) % sublane == 0 (no-pad case).
+    # h_eff - rows_out = floor_align(h - window) (pad case) or
+    # h - window - sublane with (h - window) % sublane == 0 (no-pad case).
     aligned_oy = jnp.minimum((oy // sublane) * sublane, h_eff - rows_out)
     dy = oy - aligned_oy  # ∈ [0, sublane]
-    kernel_offsets = jnp.stack([indices, aligned_oy, ox], axis=1)
+    kernel_offsets = jnp.stack([indices, aligned_oy,
+                                jnp.zeros_like(indices)], axis=1)
     scale_arr = jnp.full((1, 1), scale, jnp.float32)
     shift_arr = jnp.full((1, 1), shift, jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -179,16 +160,174 @@ def extract_patches(images: jax.Array, offsets: jax.Array,
         grid_spec=grid_spec,
         interpret=interpret,
     )(kernel_offsets, flat, scale_arr, shift_arr)
-    rows = rows[:, :, :wc].reshape(b, rows_out, w, c)
+    return rows[:, :, :wc].reshape(b, rows_out, w, c), dy
+
+
+def _apply_flips(patches: jax.Array, flips: jax.Array) -> jax.Array:
+    flipped = jnp.flip(patches, axis=2)
+    do_flip = (flips.astype(jnp.int32) == 1)[:, None, None, None]
+    return jnp.where(do_flip, flipped, patches)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("patch_size", "interpret"))
+def extract_patches(images: jax.Array, offsets: jax.Array,
+                    flips: jax.Array, *, patch_size: int,
+                    scale: float = 1.0, shift: float = 0.0,
+                    indices: jax.Array | None = None,
+                    interpret: bool = False) -> jax.Array:
+    """Extract per-example patches with flip + affine normalization.
+
+    Args:
+      images:  [N, H, W, C] (any float/int dtype; HBM-resident). With
+        ``indices`` given this is the WHOLE dataset and the kernel gathers
+        source images per output example (the on-device input queue:
+        sampling never copies a full image out of HBM).
+      offsets: [B, 2] int32 top-left (y, x); caller guarantees in-bounds.
+      flips:   [B] int32/bool horizontal-flip flags.
+      patch_size: static patch side P.
+      scale, shift: ``out = x * scale + shift`` (e.g. scale=2/255, shift=-1
+        for the reference's [-1, 1] image normalization).
+      indices: optional [B] int32 source-image index per output example;
+        defaults to ``arange(N)`` (B == N).
+
+    Returns: [B, P, P, C] float32.
+    """
+    # The Mosaic kernel only exists for TPU; on CPU backends (tests,
+    # multi-chip dry runs on virtual devices) fall back to the interpreter.
+    interpret = interpret or jax.default_backend() == "cpu"
+    n, h, w, c = images.shape
+    p = patch_size
+    offsets = offsets.astype(jnp.int32)
+    if indices is None:
+        indices = jnp.arange(n, dtype=jnp.int32)
+    oy, ox = offsets[:, 0], offsets[:, 1]
+    rows, dy = _normalized_rows(images, indices, oy, window=p,
+                                scale=scale, shift=shift,
+                                interpret=interpret)
 
     def yx_window(row_img: jax.Array, dy_i: jax.Array, ox_i: jax.Array
                   ) -> jax.Array:
         return jax.lax.dynamic_slice(row_img, (dy_i, ox_i, 0), (p, p, c))
 
     patches = jax.vmap(yx_window)(rows, dy, ox)
-    flipped = jnp.flip(patches, axis=2)
-    do_flip = (flips.astype(jnp.int32) == 1)[:, None, None, None]
-    return jnp.where(do_flip, flipped, patches)
+    return _apply_flips(patches, flips)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("patch_size", "window_sizes",
+                                    "preserve_mass", "interpret"))
+def extract_rescaled_patches(images: jax.Array, offsets: jax.Array,
+                             flips: jax.Array, scale_idx: jax.Array, *,
+                             patch_size: int,
+                             window_sizes: tuple[int, ...],
+                             scale: float = 1.0, shift: float = 0.0,
+                             preserve_mass: bool = False,
+                             indices: jax.Array | None = None,
+                             interpret: bool = False) -> jax.Array:
+    """Random-rescale patch extraction: per-example source windows of
+    size ``window_sizes[scale_idx[i]]`` are bilinearly resized to
+    ``patch_size`` (reference: crowd random patch selection "+rescale",
+    SURVEY.md §2 6c [A][H]; the exact scale set is provisional).
+
+    One Pallas row DMA per example covers the LARGEST window; each static
+    window size then slices + resizes its candidate and the per-example
+    ``scale_idx`` selects among them — shapes stay static for XLA, the
+    extra work is |window_sizes| small resizes on already-VMEM-resident
+    rows.
+
+    Args:
+      offsets: [B, 2] int32 (y, x); caller guarantees
+        ``0 ≤ o ≤ dim - window_sizes[scale_idx]`` per example.
+      scale_idx: [B] int32 index into ``window_sizes``.
+      window_sizes: static tuple of source window sides, e.g. ``(168,
+        224, 280)`` for ±25% around a 224 patch.
+      preserve_mass: renormalize values by ``(window / patch_size)**2`` so
+        each patch's integral (density mass = head count in the window)
+        is preserved under resize.
+
+    Returns: [B, P, P, C] float32.
+    """
+    interpret = interpret or jax.default_backend() == "cpu"
+    n, h, w, c = images.shape
+    p = patch_size
+    wmax = max(window_sizes)
+    if min(window_sizes) < 1:
+        raise ValueError(f"window_sizes must be ≥ 1, got {window_sizes}")
+    if wmax > min(h, w):
+        raise ValueError(f"largest rescale window {wmax} exceeds image "
+                         f"size {h}x{w}")
+    offsets = offsets.astype(jnp.int32)
+    if indices is None:
+        indices = jnp.arange(n, dtype=jnp.int32)
+    oy, ox = offsets[:, 0], offsets[:, 1]
+    rows, dy = _normalized_rows(images, indices, oy, window=wmax,
+                                scale=scale, shift=shift,
+                                interpret=interpret)
+    scale_idx = scale_idx.astype(jnp.int32)
+    candidates = []
+    for ws in window_sizes:
+        def yx_window(row_img, dy_i, ox_i, ws=ws):
+            # Clamped for examples whose own window differs; those slices
+            # are discarded by the scale_idx select below.
+            return jax.lax.dynamic_slice(row_img, (dy_i, ox_i, 0),
+                                         (ws, ws, c))
+
+        win = jax.vmap(yx_window)(rows, dy, ox)
+        resized = jax.image.resize(win, (win.shape[0], p, p, c),
+                                   method="bilinear")
+        if preserve_mass:
+            resized = resized * ((ws / p) ** 2)
+        candidates.append(resized)
+    # One-hot select (|window_sizes| is small; cheaper than gather over a
+    # stacked [S, B, P, P, C]).
+    onehot = jax.nn.one_hot(scale_idx, len(window_sizes),
+                            dtype=jnp.float32)  # [B, S]
+    out = sum(cand * onehot[:, i, None, None, None]
+              for i, cand in enumerate(candidates))
+    return _apply_flips(out, flips)
+
+
+def extract_rescaled_patches_reference(images: np.ndarray,
+                                       offsets: np.ndarray,
+                                       flips: np.ndarray,
+                                       scale_idx: np.ndarray,
+                                       patch_size: int,
+                                       window_sizes: tuple,
+                                       scale: float = 1.0,
+                                       shift: float = 0.0,
+                                       preserve_mass: bool = False,
+                                       indices: np.ndarray | None = None
+                                       ) -> np.ndarray:
+    """Golden model for :func:`extract_rescaled_patches`.
+
+    Per-example NumPy crop → resize → mass renorm → flip. The resize
+    primitive itself is ``jax.image.resize`` (shared with the device
+    path — the independently-modeled logic is the window geometry,
+    per-example scale select, mass renormalization and flip; modeling
+    jax's anti-aliased resampler in NumPy would test the library, not
+    this module).
+    """
+    if indices is None:
+        indices = np.arange(images.shape[0])
+    b = len(indices)
+    p = patch_size
+    c = images.shape[3]
+    out = np.empty((b, p, p, c), np.float32)
+    for i in range(b):
+        ws = int(window_sizes[int(scale_idx[i])])
+        oy, ox = int(offsets[i, 0]), int(offsets[i, 1])
+        win = images[int(indices[i]),
+                     oy:oy + ws, ox:ox + ws].astype(np.float32)
+        win = win * scale + shift
+        resized = np.asarray(jax.image.resize(
+            jnp.asarray(win), (p, p, c), method="bilinear"))
+        if preserve_mass:
+            resized = resized * ((ws / p) ** 2)
+        if flips[i]:
+            resized = resized[:, ::-1]
+        out[i] = resized
+    return out
 
 
 def extract_patches_reference(images: np.ndarray, offsets: np.ndarray,

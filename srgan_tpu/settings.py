@@ -127,6 +127,15 @@ class Settings:
     # the reference's D==DNN architecture symmetry.
     dnn_use_norm: bool = True
     image_patch_size: int = 224
+    # Random-rescale patch augmentation (reference: crowd random patch
+    # selection "+rescale", SURVEY.md §2 6c [A][H]; the exact scale set is
+    # provisional — the reference mount is empty). Each training patch is
+    # cut from a source window of `image_patch_size * factor` pixels and
+    # resized to `image_patch_size` (density mass preserved). A small
+    # STATIC factor set keeps shapes static for XLA. Empty tuple → off.
+    # Requires crowd_label_type='density' (kNN/iKNN distance targets are
+    # not scale-covariant under resize).
+    crowd_rescale_factors: Tuple[float, ...] = ()
     crowd_image_height: int = 384
     crowd_image_width: int = 512
     crowd_sigma: float = 8.0
@@ -140,8 +149,11 @@ class Settings:
     # Shard the HBM-resident crowd database over the 'data' mesh axis
     # (each device holds 1/Nth of the split and samples its batch shard
     # from LOCAL indices) instead of replicating it to every device: HBM
-    # capacity then scales with mesh size. Sampling stays uniform — equal
-    # shards, equal per-device batch shares (stratified over shards).
+    # capacity then scales with mesh size. Sampling is uniform within
+    # each shard (cyclic-pad duplicates are excluded from the sample
+    # distribution); for splits not divisible by the mesh size the last
+    # shard is smaller, so its examples are drawn proportionally more
+    # often — the unavoidable residue of stratified-over-shards sampling.
     crowd_shard_dataset: bool = False
     # Age:
     age_image_size: int = 64

@@ -12,7 +12,8 @@ from srgan_tpu.__main__ import main
 def _common_args(tmp_path):
     return ["--steps_to_run", "4", "--batch_size", "8",
             "--labeled_dataset_size", "16", "--unlabeled_dataset_size",
-            "16", "--validation_dataset_size", "8", "--hidden_size", "8",
+            "16", "--validation_dataset_size", "8",
+            "--test_dataset_size", "8", "--hidden_size", "8",
             "--logs_directory", str(tmp_path / "logs"),
             "--trial_name", "cli"]
 
@@ -28,9 +29,12 @@ def test_train_then_evaluate_only(tmp_path, capsys):
                "--load_model_path", trial_dir] + _common_args(tmp_path))
     assert rc == 0
     result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    # evaluate_only on the restored state reproduces the trial's final eval
-    np.testing.assert_allclose(result["MAE"], out["validation"]["MAE"],
-                               rtol=1e-5)
+    # evaluate_only on the restored state reproduces the trial's final
+    # report — validation AND held-out test metrics.
+    np.testing.assert_allclose(result["validation"]["MAE"],
+                               out["validation"]["MAE"], rtol=1e-5)
+    np.testing.assert_allclose(result["test"]["MAE"],
+                               out["test"]["MAE"], rtol=1e-5)
 
 
 def test_evaluate_only_requires_model_path(tmp_path):
@@ -106,6 +110,19 @@ def test_dnn_only_reports_trained_model_metrics(tmp_path):
     assert default == dnn
     assert dnn < d  # trained baseline beats the untrained D init
     assert exp.test()["MAE"] == exp.test(use_dnn=True)["MAE"]
+
+
+def test_cli_empty_test_split_reports_null(tmp_path, capsys):
+    """--test_dataset_size 0 must not crash the CLI after a full training
+    run; the final JSON reports "test": null instead (the explicit
+    Experiment.test() call still raises — see test_empty_test_split_refuses).
+    """
+    rc = main(["coefficient"] + _common_args(tmp_path)
+              + ["--test_dataset_size", "0"])  # last value wins
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["test"] is None
+    assert np.isfinite(out["validation"]["MAE"])
 
 
 def test_empty_test_split_refuses(tmp_path):

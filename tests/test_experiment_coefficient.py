@@ -5,6 +5,8 @@ import glob
 import json
 import os
 
+import pytest
+
 import jax
 import numpy as np
 
@@ -73,6 +75,23 @@ def test_checkpoint_resume_roundtrip(tmp_path):
     restored = checkpoint.restore_state(state, ckpt_dir)
     for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_restore_structure_mismatch_is_actionable(tmp_path):
+    """Restoring under different architecture settings (e.g. another
+    norm_impl / hidden_size) must fail fast with guidance, not an opaque
+    Orbax tree error (ADVICE r2: norm_impl checkpoint portability)."""
+    settings = _settings(tmp_path, steps_to_run=2)
+    exp = CoefficientExperiment(settings)
+    state = exp.train()
+
+    from srgan_tpu.train import init_train_state
+    other = CoefficientExperiment(_settings(tmp_path, hidden_size=13))
+    other.dataset_setup()
+    _, d, g, dnn = other.model_setup()
+    template = init_train_state(other.settings, d, g, dnn)
+    with pytest.raises(ValueError, match="SAME architecture settings"):
+        checkpoint.restore_state(template, exp.trial_directory)
 
 
 def test_resume_fast_forwards_data_order(tmp_path):

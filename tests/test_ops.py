@@ -6,7 +6,10 @@ import numpy as np
 import pytest
 
 from srgan_tpu.ops.density import density_maps, density_maps_reference
-from srgan_tpu.ops.patches import extract_patches, extract_patches_reference
+from srgan_tpu.ops.patches import (extract_patches,
+                                   extract_patches_reference,
+                                   extract_rescaled_patches,
+                                   extract_rescaled_patches_reference)
 
 
 class TestDensityMaps:
@@ -191,3 +194,95 @@ class TestExtractPatches:
             patch_size=8, interpret=True))
         np.testing.assert_allclose(got[0], images[0, :8, :8], rtol=1e-6)
         np.testing.assert_allclose(got[1], images[1, -8:, -8:], rtol=1e-6)
+
+
+class TestExtractRescaledPatches:
+    """Random-rescale patch augmentation (SURVEY.md §2 6c '+rescale'):
+    per-example source windows resized to the patch size, mass-preserving
+    for density labels."""
+
+    WINDOWS = (6, 8, 12)
+
+    def _data(self, b=6, h=40, w=48, c=3, seed=0):
+        rng = np.random.default_rng(seed)
+        images = rng.integers(0, 256, (b, h, w, c)).astype(np.float32)
+        scale_idx = rng.integers(0, len(self.WINDOWS), b).astype(np.int32)
+        win = np.asarray(self.WINDOWS)[scale_idx]
+        offsets = np.stack([rng.integers(0, h - win + 1),
+                            rng.integers(0, w - win + 1)],
+                           axis=-1).astype(np.int32)
+        flips = rng.integers(0, 2, b).astype(np.int32)
+        return images, offsets, flips, scale_idx
+
+    def test_matches_golden_model(self):
+        images, offsets, flips, scale_idx = self._data()
+        got = np.asarray(extract_rescaled_patches(
+            jnp.asarray(images), jnp.asarray(offsets), jnp.asarray(flips),
+            jnp.asarray(scale_idx), patch_size=8,
+            window_sizes=self.WINDOWS, scale=2.0 / 255.0, shift=-1.0,
+            interpret=True))
+        want = extract_rescaled_patches_reference(
+            images, offsets, flips, scale_idx, 8, self.WINDOWS,
+            scale=2.0 / 255.0, shift=-1.0)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_identity_window_equals_plain_extraction(self):
+        """Factor 1.0 (window == patch size) must reproduce the plain
+        patch path exactly — no resampling blur on unscaled examples."""
+        images, offsets, flips, _ = self._data()
+        scale_idx = np.full(len(images), 1, np.int32)  # window 8 == patch
+        rng = np.random.default_rng(1)
+        p = 8
+        offsets = np.stack([rng.integers(0, 40 - p + 1, len(images)),
+                            rng.integers(0, 48 - p + 1, len(images))],
+                           axis=-1).astype(np.int32)
+        got = np.asarray(extract_rescaled_patches(
+            jnp.asarray(images), jnp.asarray(offsets), jnp.asarray(flips),
+            jnp.asarray(scale_idx), patch_size=p,
+            window_sizes=self.WINDOWS, interpret=True))
+        want = np.asarray(extract_patches(
+            jnp.asarray(images), jnp.asarray(offsets), jnp.asarray(flips),
+            patch_size=p, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_preserve_mass_keeps_window_integral(self):
+        """Density labels: the resized patch's integral must equal the
+        source window's integral (head count in the window)."""
+        rng = np.random.default_rng(2)
+        density = rng.uniform(0, 1, (4, 40, 48, 1)).astype(np.float32)
+        for i, ws in enumerate((6, 8, 12)):
+            scale_idx = np.full(4, i, np.int32)
+            offsets = np.stack([rng.integers(0, 40 - ws + 1, 4),
+                                rng.integers(0, 48 - ws + 1, 4)],
+                               axis=-1).astype(np.int32)
+            got = np.asarray(extract_rescaled_patches(
+                jnp.asarray(density), jnp.asarray(offsets),
+                jnp.zeros(4, jnp.int32), jnp.asarray(scale_idx),
+                patch_size=8, window_sizes=self.WINDOWS,
+                preserve_mass=True, interpret=True))
+            for j in range(4):
+                oy, ox = offsets[j]
+                window_mass = density[j, oy:oy + ws, ox:ox + ws].sum()
+                np.testing.assert_allclose(got[j].sum(), window_mass,
+                                           rtol=0.02,
+                                           err_msg=f"window {ws}")
+
+    def test_uint8_images(self):
+        images, offsets, flips, scale_idx = self._data()
+        u8 = images.astype(np.uint8)
+        got = np.asarray(extract_rescaled_patches(
+            jnp.asarray(u8), jnp.asarray(offsets), jnp.asarray(flips),
+            jnp.asarray(scale_idx), patch_size=8,
+            window_sizes=self.WINDOWS, scale=2.0 / 255.0, shift=-1.0,
+            interpret=True))
+        want = extract_rescaled_patches_reference(
+            images, offsets, flips, scale_idx, 8, self.WINDOWS,
+            scale=2.0 / 255.0, shift=-1.0)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_oversized_window_raises(self):
+        with pytest.raises(ValueError, match="exceeds image"):
+            extract_rescaled_patches(
+                jnp.zeros((1, 16, 16, 3)), jnp.zeros((1, 2), jnp.int32),
+                jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32),
+                patch_size=8, window_sizes=(8, 24), interpret=True)
