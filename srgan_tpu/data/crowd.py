@@ -46,7 +46,8 @@ def generate_density_label(head_positions: np.ndarray, height: int,
 
 
 def generate_knn_map(head_positions: np.ndarray, height: int, width: int,
-                     k: int = 1) -> np.ndarray:
+                     k: int = 1, origin: Tuple[float, float] = (0.0, 0.0),
+                     _chunk: int = 64) -> np.ndarray:
     """Per-pixel mean distance to the k nearest annotated heads.
 
     Reference: the crowd-paper branch's kNN-distance maps (SURVEY.md §2
@@ -54,29 +55,84 @@ def generate_knn_map(head_positions: np.ndarray, height: int, width: int,
     well-defined even far from any head. Empty annotation → the map is
     the distance to the image diagonal (max possible), matching the
     "no crowd anywhere" reading.
+
+    Distances are computed in head-chunks with a running top-k: peak
+    memory is [H, W, k + chunk] instead of [H, W, M] (UCF-QNRF images
+    carry up to ~12k heads — the naive form needs gigabytes per map).
+    ``origin`` offsets the pixel grid, so a tile of a larger image can
+    be evaluated against ALL of the image's heads in the global frame
+    (native-resolution tiled preprocessing).
     """
     heads = np.asarray(head_positions, np.float32).reshape(-1, 2)
+    oy, ox = origin
     yy, xx = np.mgrid[0:height, 0:width].astype(np.float32)
+    yy += np.float32(oy)
+    xx += np.float32(ox)
     if len(heads) == 0:
         diag = np.float32(np.hypot(height, width))
         return np.full((height, width), diag, np.float32)
     k = min(k, len(heads))
-    # [H, W, M] pairwise distances; M is modest after preprocessing.
-    d = np.sqrt((yy[..., None] - heads[None, None, :, 0]) ** 2
-                + (xx[..., None] - heads[None, None, :, 1]) ** 2)
-    if k == 1:
-        return d.min(axis=-1).astype(np.float32)
-    part = np.partition(d, k - 1, axis=-1)[..., :k]
-    return part.mean(axis=-1).astype(np.float32)
+    best = np.full((height, width, k), np.inf, np.float32)
+    for start in range(0, len(heads), _chunk):
+        chunk = heads[start:start + _chunk]
+        d = np.sqrt((yy[..., None] - chunk[None, None, :, 0]) ** 2
+                    + (xx[..., None] - chunk[None, None, :, 1]) ** 2)
+        merged = np.concatenate([best, d], axis=-1)
+        if k == 1:
+            best = merged.min(axis=-1, keepdims=True)
+        else:
+            best = np.partition(merged, k - 1, axis=-1)[..., :k]
+    return best.mean(axis=-1).astype(np.float32)
 
 
 def generate_iknn_map(head_positions: np.ndarray, height: int, width: int,
-                      k: int = 1, epsilon: float = 1.0) -> np.ndarray:
+                      k: int = 1, epsilon: float = 1.0,
+                      origin: Tuple[float, float] = (0.0, 0.0)
+                      ) -> np.ndarray:
     """Inverse kNN map: ``1 / (knn + ε)`` — bounded, crowd-density-like
     response that the crowd-paper branch regresses instead of raw kNN
     distance (iKNN maps [M])."""
-    return (1.0 / (generate_knn_map(head_positions, height, width, k)
+    return (1.0 / (generate_knn_map(head_positions, height, width, k,
+                                    origin=origin)
                    + epsilon)).astype(np.float32)
+
+
+def render_density_windowed(head_positions: np.ndarray, height: int,
+                            width: int, sigma: float = 8.0,
+                            radius_sigmas: float = 4.0) -> np.ndarray:
+    """Render a native-resolution density canvas with per-head windows.
+
+    Equivalent to :func:`generate_density_label` but O(heads·r²) instead
+    of O(heads·H·W): each head's Gaussian is rendered into a ±r window
+    (r = ``radius_sigmas``·σ) clipped at the canvas border, normalized to
+    unit mass over that clipped window — so Σ canvas == head count
+    exactly, and values match the full-canvas renderer to the Gaussian's
+    tail mass beyond r (≈3e-8 of a splat at 4σ). Used by the
+    native-resolution tiled preprocessing mode, where canvases reach
+    thousands of pixels per side and the full-canvas form is quadratic.
+    """
+    heads = np.asarray(head_positions, np.float32).reshape(-1, 2)
+    canvas = np.zeros((height, width), np.float32)
+    if len(heads) == 0:
+        return canvas
+    r = int(np.ceil(radius_sigmas * sigma))
+    inv = 1.0 / (2.0 * sigma * sigma)
+    for hy, hx in heads:
+        y0 = max(0, int(np.floor(hy)) - r)
+        y1 = min(height, int(np.floor(hy)) + r + 1)
+        x0 = max(0, int(np.floor(hx)) - r)
+        x1 = min(width, int(np.floor(hx)) + r + 1)
+        if y0 >= y1 or x0 >= x1:
+            # Head annotated beyond r of the canvas: the full-canvas
+            # renderer also drops it (its window sum underflows the
+            # 1e-12 guard) — skip for exact parity.
+            continue
+        yy, xx = np.mgrid[y0:y1, x0:x1].astype(np.float32)
+        g = np.exp(-((yy - hy) ** 2 + (xx - hx) ** 2) * inv)
+        total = g.sum()
+        if total > 1e-12:
+            canvas[y0:y1, x0:x1] += g / total
+    return canvas
 
 
 # --------------------------------------------------------------------------
@@ -101,11 +157,18 @@ class CrowdDatabase:
     # What aux_maps contains ('density' when absent) — persisted so a
     # label-type mismatch between database and Settings is detectable.
     label_type: str = "density"
+    # Native-resolution tiled databases (preprocessing --mode tiles):
+    # example n is a fixed-size tile of source image image_ids[n], at the
+    # image's ORIGINAL pixel scale; per-image metrics aggregate tiles by
+    # id. None → one example per source image (resize mode).
+    image_ids: Optional[np.ndarray] = None
 
     def __post_init__(self):
         assert self.images.ndim == 4 and self.images.shape[3] == 3
         assert self.density_maps.shape == self.images.shape[:3]
         assert len(self.head_counts) == len(self.images)
+        if self.image_ids is not None:
+            assert len(self.image_ids) == len(self.images)
 
     def __len__(self) -> int:
         return len(self.images)
@@ -114,6 +177,22 @@ class CrowdDatabase:
     def image_size(self) -> Tuple[int, int]:
         return self.images.shape[1], self.images.shape[2]
 
+    @property
+    def num_source_images(self) -> int:
+        if self.image_ids is None:
+            return len(self.images)
+        return int(self.image_ids.max()) + 1 if len(self.image_ids) else 0
+
+    def per_image_counts(self, per_example: np.ndarray) -> np.ndarray:
+        """Aggregate a per-example (per-tile) count vector to per-SOURCE-
+        image totals. Identity for resize-mode databases."""
+        per_example = np.asarray(per_example, np.float64)
+        if self.image_ids is None:
+            return per_example.astype(np.float32)
+        return np.bincount(self.image_ids, weights=per_example,
+                           minlength=self.num_source_images
+                           ).astype(np.float32)
+
     def save(self, path: str) -> None:
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         arrays = dict(images=self.images, density_maps=self.density_maps,
@@ -121,6 +200,8 @@ class CrowdDatabase:
                       label_type=np.asarray(self.label_type))
         if self.aux_maps is not None:
             arrays["aux_maps"] = self.aux_maps
+        if self.image_ids is not None:
+            arrays["image_ids"] = self.image_ids
         np.savez_compressed(path, **arrays)
 
     @classmethod
@@ -132,7 +213,9 @@ class CrowdDatabase:
                    aux_maps=(data["aux_maps"]
                              if "aux_maps" in data else None),
                    label_type=(str(data["label_type"])
-                               if "label_type" in data else "density"))
+                               if "label_type" in data else "density"),
+                   image_ids=(data["image_ids"]
+                              if "image_ids" in data else None))
 
 
 # --------------------------------------------------------------------------
@@ -140,27 +223,42 @@ class CrowdDatabase:
 # --------------------------------------------------------------------------
 
 class DatabasePreprocessor:
-    """Raw database directory → fixed-resolution :class:`CrowdDatabase`.
+    """Raw database directory → fixed-size :class:`CrowdDatabase`.
 
     Subclasses implement :meth:`example_paths` (image/annotation pairs) and
-    :meth:`load_head_positions`. `preprocess` resizes every image to
-    (height, width), scales head coordinates accordingly, renders density
-    maps, and returns the packed arrays.
+    :meth:`load_head_positions`. Two modes (both produce static shapes —
+    one XLA compilation):
+
+    * ``mode='resize'`` (reference-era framework default): every image is
+      resized to (height, width), head coordinates scaled, one example
+      per image.
+    * ``mode='tiles'``: images keep their NATIVE pixel scale and are cut
+      into non-overlapping (height, width) tiles (zero-padded at the
+      bottom/right edges); density is rendered once on the native canvas
+      and sliced, so head mass splits exactly across tile borders.
+      ``image_ids`` maps tiles back to source images for per-image
+      evaluation. This matches the reference's native-resolution arrays
+      (SURVEY.md §3.3): a 6000px-wide UCF-QNRF image is NOT shrunk ~12×
+      (which changes head scale and the task the MAE is defined on).
     """
 
     database_name = "base"
 
     def __init__(self, height: int = 384, width: int = 512,
                  sigma: float = 8.0, label_type: str = "density",
-                 knn_k: int = 1):
+                 knn_k: int = 1, mode: str = "resize"):
         if label_type not in ("density", "knn", "iknn"):
             raise ValueError(f"unknown label_type {label_type!r}; "
                              f"choose density, knn or iknn")
+        if mode not in ("resize", "tiles"):
+            raise ValueError(f"unknown mode {mode!r}; "
+                             f"choose resize or tiles")
         self.height = height
         self.width = width
         self.sigma = sigma
         self.label_type = label_type
         self.knn_k = knn_k
+        self.mode = mode
 
     # -------------------------------------------------- subclass interface
     def example_paths(self, raw_directory: str):
@@ -176,32 +274,45 @@ class DatabasePreprocessor:
                    output_path: Optional[str] = None) -> CrowdDatabase:
         from PIL import Image
 
-        images, densities, counts, aux = [], [], [], []
+        images, densities, counts, aux, ids = [], [], [], [], []
+        image_id = 0
         for image_path, ann_path in self.example_paths(raw_directory):
             with Image.open(image_path) as img:
                 img = img.convert("RGB")
                 raw_w, raw_h = img.size
-                resized = np.asarray(
-                    img.resize((self.width, self.height), Image.BILINEAR),
-                    np.uint8)
+                if self.mode == "tiles":
+                    pixels = np.asarray(img, np.uint8)
+                else:
+                    pixels = np.asarray(
+                        img.resize((self.width, self.height),
+                                   Image.BILINEAR), np.uint8)
             heads_xy = self.load_head_positions(ann_path)
-            # raw (x, y) → resized (y, x)
-            scale_x = self.width / raw_w
-            scale_y = self.height / raw_h
-            heads_yx = np.stack([heads_xy[:, 1] * scale_y,
-                                 heads_xy[:, 0] * scale_x], axis=-1) \
-                if len(heads_xy) else np.zeros((0, 2), np.float32)
-            density = generate_density_label(heads_yx, self.height,
-                                             self.width, self.sigma)
-            if self.label_type == "knn":
-                aux.append(generate_knn_map(heads_yx, self.height,
-                                            self.width, self.knn_k))
-            elif self.label_type == "iknn":
-                aux.append(generate_iknn_map(heads_yx, self.height,
-                                             self.width, self.knn_k))
-            images.append(resized)
-            densities.append(density)
-            counts.append(float(len(heads_yx)))
+            if self.mode == "tiles":
+                heads_yx = (np.stack([heads_xy[:, 1], heads_xy[:, 0]],
+                                     axis=-1)
+                            if len(heads_xy) else np.zeros((0, 2),
+                                                           np.float32))
+                self._append_tiles(pixels, heads_yx, image_id, images,
+                                   densities, counts, aux, ids)
+            else:
+                # raw (x, y) → resized (y, x)
+                scale_x = self.width / raw_w
+                scale_y = self.height / raw_h
+                heads_yx = np.stack([heads_xy[:, 1] * scale_y,
+                                     heads_xy[:, 0] * scale_x], axis=-1) \
+                    if len(heads_xy) else np.zeros((0, 2), np.float32)
+                density = generate_density_label(heads_yx, self.height,
+                                                 self.width, self.sigma)
+                if self.label_type == "knn":
+                    aux.append(generate_knn_map(heads_yx, self.height,
+                                                self.width, self.knn_k))
+                elif self.label_type == "iknn":
+                    aux.append(generate_iknn_map(heads_yx, self.height,
+                                                 self.width, self.knn_k))
+                images.append(pixels)
+                densities.append(density)
+                counts.append(float(len(heads_yx)))
+            image_id += 1
         database = CrowdDatabase(
             images=np.stack(images) if images else
             np.zeros((0, self.height, self.width, 3), np.uint8),
@@ -210,10 +321,48 @@ class DatabasePreprocessor:
             head_counts=np.asarray(counts, np.float32),
             aux_maps=(np.stack(aux).astype(np.float32)
                       if aux else None),
-            label_type=self.label_type)
+            label_type=self.label_type,
+            image_ids=(np.asarray(ids, np.int32)
+                       if self.mode == "tiles" else None))
         if output_path:
             database.save(output_path)
         return database
+
+    def _append_tiles(self, pixels: np.ndarray, heads_yx: np.ndarray,
+                      image_id: int, images, densities, counts, aux,
+                      ids) -> None:
+        """Cut one native-resolution image into (height, width) tiles.
+
+        Density is rendered ONCE on the (padded) native canvas — the
+        windowed renderer keeps that linear in head count — then sliced,
+        so a head near a tile border contributes its Gaussian mass to
+        both tiles and the per-image total stays exactly the head count.
+        Per-tile ``head_counts`` are therefore fractional; per-image
+        metrics aggregate via ``image_ids``.
+        """
+        th, tw = self.height, self.width
+        raw_h, raw_w = pixels.shape[:2]
+        ny, nx = -(-raw_h // th), -(-raw_w // tw)
+        padded = np.zeros((ny * th, nx * tw, 3), np.uint8)
+        padded[:raw_h, :raw_w] = pixels
+        canvas = render_density_windowed(heads_yx, ny * th, nx * tw,
+                                         self.sigma)
+        for ty in range(ny):
+            for tx in range(nx):
+                ys, xs = ty * th, tx * tw
+                images.append(padded[ys:ys + th, xs:xs + tw])
+                tile_density = canvas[ys:ys + th, xs:xs + tw]
+                densities.append(tile_density)
+                counts.append(float(tile_density.sum()))
+                ids.append(image_id)
+                if self.label_type == "knn":
+                    aux.append(generate_knn_map(
+                        heads_yx, th, tw, self.knn_k,
+                        origin=(float(ys), float(xs))))
+                elif self.label_type == "iknn":
+                    aux.append(generate_iknn_map(
+                        heads_yx, th, tw, self.knn_k,
+                        origin=(float(ys), float(xs))))
 
 
 class UcfQnrfPreprocessor(DatabasePreprocessor):
@@ -348,14 +497,22 @@ def main(argv=None) -> int:
     parser.add_argument("--label-type", default="density",
                         choices=["density", "knn", "iknn"])
     parser.add_argument("--knn-k", type=int, default=1)
+    parser.add_argument("--mode", default="resize",
+                        choices=["resize", "tiles"],
+                        help="resize: one (height,width) example per "
+                             "image; tiles: native-resolution "
+                             "(height,width) tiles with image_ids for "
+                             "per-image evaluation")
     args = parser.parse_args(argv)
     pre = PREPROCESSORS[args.database](height=args.height,
                                        width=args.width, sigma=args.sigma,
                                        label_type=args.label_type,
-                                       knn_k=args.knn_k)
+                                       knn_k=args.knn_k, mode=args.mode)
     db = pre.preprocess(args.raw_directory, args.output_path)
+    sources = (f" from {db.num_source_images} images"
+               if db.image_ids is not None else "")
     print(f"wrote {len(db)} examples "
-          f"({args.height}x{args.width}) to {args.output_path}")
+          f"({args.height}x{args.width}){sources} to {args.output_path}")
     return 0
 
 

@@ -57,6 +57,22 @@ def shard_batch(mesh: Mesh, *arrays: Any, axis_name: str = DATA_AXIS):
     return out[0] if len(out) == 1 else out
 
 
+def shard_map_fn(fn: Callable, mesh: Mesh, in_specs, out_specs
+                 ) -> Callable:
+    """``jax.shard_map`` across jax versions (the public API moved out of
+    experimental in jax 0.8; the replication-check kwarg was renamed).
+    Used to run per-device Pallas input kernels under an explicit mesh
+    program (GSPMD cannot partition custom calls on its own)."""
+    try:
+        from jax import shard_map
+        kwargs = {"check_vma": False}
+    except ImportError:  # pragma: no cover — older jax
+        from jax.experimental.shard_map import shard_map
+        kwargs = {"check_rep": False}
+    return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                     out_specs=out_specs, **kwargs)
+
+
 def jit_data_parallel(step_fn: Callable, mesh: Mesh,
                       num_batch_args: int = 3,
                       donate_state: bool = True,

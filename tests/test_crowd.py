@@ -75,6 +75,146 @@ class TestKnnMaps:
                                    rtol=1e-3)
 
 
+class TestWindowedDensityRenderer:
+    def test_matches_full_canvas_renderer(self):
+        from srgan_tpu.data.crowd import render_density_windowed
+        rng = np.random.default_rng(0)
+        heads = np.stack([rng.uniform(0, 64, 12), rng.uniform(0, 96, 12)],
+                         axis=-1)
+        full = generate_density_label(heads, 64, 96, sigma=3.0)
+        windowed = render_density_windowed(heads, 64, 96, sigma=3.0)
+        np.testing.assert_allclose(windowed, full, atol=2e-5)
+        np.testing.assert_allclose(windowed.sum(), 12.0, rtol=1e-5)
+
+    def test_border_heads_keep_unit_mass(self):
+        from srgan_tpu.data.crowd import render_density_windowed
+        heads = np.array([[0.0, 0.0], [63.0, 95.0], [0.0, 95.0]])
+        m = render_density_windowed(heads, 64, 96, sigma=4.0)
+        np.testing.assert_allclose(m.sum(), 3.0, rtol=1e-5)
+
+    def test_off_canvas_heads_match_full_renderer(self):
+        """Slightly-off-canvas heads keep (most of) their mass at the
+        border; far-off heads are dropped — both exactly as the
+        full-canvas renderer treats them."""
+        from srgan_tpu.data.crowd import render_density_windowed
+        near = np.array([[-2.0, 20.0]])
+        got = render_density_windowed(near, 32, 48, sigma=2.0)
+        want = generate_density_label(near, 32, 48, sigma=2.0)
+        np.testing.assert_allclose(got, want, atol=2e-5)
+        np.testing.assert_allclose(got.sum(), 1.0, rtol=1e-5)
+        far = np.array([[-50.0, 20.0]])
+        got = render_density_windowed(far, 32, 48, sigma=2.0)
+        want = generate_density_label(far, 32, 48, sigma=2.0)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+        assert got.sum() == 0.0
+
+    def test_empty(self):
+        from srgan_tpu.data.crowd import render_density_windowed
+        assert render_density_windowed(np.zeros((0, 2)), 16, 16).sum() == 0
+
+
+class TestKnnChunking:
+    def test_chunked_matches_single_chunk(self):
+        """The running-top-k head chunking (memory fix for ~12k-head
+        UCF-QNRF images) must be exact."""
+        from srgan_tpu.data.crowd import generate_knn_map
+        rng = np.random.default_rng(1)
+        heads = np.stack([rng.uniform(0, 32, 150),
+                          rng.uniform(0, 48, 150)], axis=-1)
+        for k in (1, 3):
+            small = generate_knn_map(heads, 32, 48, k=k, _chunk=7)
+            big = generate_knn_map(heads, 32, 48, k=k, _chunk=1000)
+            np.testing.assert_allclose(small, big, rtol=1e-6)
+
+    def test_origin_offsets_pixel_grid(self):
+        """A tile evaluated with origin=(y0,x0) must equal the matching
+        slice of the full map (global distances, tile frame)."""
+        from srgan_tpu.data.crowd import generate_knn_map
+        rng = np.random.default_rng(2)
+        heads = np.stack([rng.uniform(0, 40, 9),
+                          rng.uniform(0, 60, 9)], axis=-1)
+        full = generate_knn_map(heads, 40, 60, k=2)
+        tile = generate_knn_map(heads, 20, 30, k=2, origin=(20.0, 30.0))
+        np.testing.assert_allclose(tile, full[20:, 30:], rtol=1e-6)
+
+
+class TestTiledPreprocessing:
+    """--mode tiles: native-resolution fixed-size tiles + image_ids
+    (SURVEY.md §3.3 native-resolution arrays; VERDICT r2 next #1b)."""
+
+    def _preprocess(self, tmp_path, raw_h, raw_w, heads_xy, th=40, tw=60,
+                    **kw):
+        raw = tmp_path / "raw"
+        raw.mkdir(exist_ok=True)
+        _write_image(raw / "img_0001.jpg", h=raw_h, w=raw_w)
+        savemat(raw / "img_0001_ann.mat", {"annPoints": heads_xy})
+        pre = UcfQnrfPreprocessor(height=th, width=tw, sigma=3.0,
+                                  mode="tiles", **kw)
+        return pre.preprocess(str(raw))
+
+    def test_tile_geometry_and_pixels(self, tmp_path):
+        """80x120 image, 40x60 tiles → 2x2 grid; tile pixels are exact
+        slices of the native image (NO resampling)."""
+        from PIL import Image
+        db = self._preprocess(tmp_path, 80, 120,
+                              np.array([[10.0, 20.0]]))
+        assert len(db) == 4
+        np.testing.assert_array_equal(db.image_ids, [0, 0, 0, 0])
+        assert db.num_source_images == 1
+        with Image.open(tmp_path / "raw" / "img_0001.jpg") as img:
+            native = np.asarray(img.convert("RGB"), np.uint8)
+        np.testing.assert_array_equal(db.images[0], native[:40, :60])
+        np.testing.assert_array_equal(db.images[3], native[40:, 60:120])
+
+    def test_total_mass_is_head_count(self, tmp_path):
+        """Density rendered on the native canvas then sliced: per-image
+        mass (Σ over tiles) equals the head count even with heads on
+        tile borders."""
+        heads_xy = np.array([[60.0, 40.0],   # exactly on the tile cross
+                             [20.0, 10.0], [100.0, 70.0]])
+        db = self._preprocess(tmp_path, 80, 120, heads_xy)
+        per_image = db.per_image_counts(db.head_counts)
+        np.testing.assert_allclose(per_image, [3.0], rtol=1e-4)
+        np.testing.assert_allclose(db.density_maps.sum(), 3.0, rtol=1e-4)
+        # the border head split across tiles → fractional per-tile counts
+        assert not np.allclose(db.head_counts,
+                               np.round(db.head_counts))
+
+    def test_padding_to_tile_multiple(self, tmp_path):
+        """90x130 → 3x3 tile grid with zero-padded bottom/right edges."""
+        db = self._preprocess(tmp_path, 90, 130,
+                              np.array([[5.0, 5.0]]), th=40, tw=60)
+        assert len(db) == 9
+        # bottom-right tile is mostly padding: rows 80:90 real, rest zero
+        assert db.images[8][10:, :].sum() == 0
+        np.testing.assert_allclose(db.per_image_counts(db.head_counts),
+                                   [1.0], rtol=1e-4)
+
+    def test_tiles_with_iknn_labels(self, tmp_path):
+        """Tile aux maps use GLOBAL head distances in the tile frame."""
+        from srgan_tpu.data.crowd import generate_iknn_map
+        heads_xy = np.array([[10.0, 20.0], [100.0, 70.0]])  # (x, y)
+        db = self._preprocess(tmp_path, 80, 120, heads_xy,
+                              label_type="iknn")
+        assert db.aux_maps is not None and db.aux_maps.shape == (4, 40, 60)
+        heads_yx = heads_xy[:, ::-1]
+        want_tile3 = generate_iknn_map(heads_yx, 40, 60,
+                                       origin=(40.0, 60.0))
+        np.testing.assert_allclose(db.aux_maps[3], want_tile3, rtol=1e-5)
+
+    def test_save_load_roundtrip_keeps_image_ids(self, tmp_path):
+        db = self._preprocess(tmp_path, 80, 120, np.array([[10.0, 20.0]]))
+        path = str(tmp_path / "tiles.npz")
+        db.save(path)
+        loaded = CrowdDatabase.load(path)
+        np.testing.assert_array_equal(loaded.image_ids, db.image_ids)
+
+    def test_per_image_counts_identity_without_ids(self):
+        db = synthetic_crowd_database(3, height=32, width=32, seed=0)
+        np.testing.assert_array_equal(db.per_image_counts(db.head_counts),
+                                      db.head_counts)
+
+
 class TestSyntheticDatabase:
     def test_shapes_and_mass(self):
         db = synthetic_crowd_database(4, height=48, width=64, max_heads=10,
@@ -391,6 +531,47 @@ class TestCrowdExperiment:
             assert (offs[:, 0] + win <= h).all()
             assert (offs[:, 1] + win <= w).all()
             assert (offs >= 0).all()
+
+    def test_device_grid_eval_matches_host_golden_model(self, tmp_path):
+        """The one-jit device-side grid evaluation (patch grid → forward
+        → overlap-average canvas → Σ, shard_mapped over 'data') must
+        reproduce the straightforward host reassembly exactly (VERDICT
+        r2 next #3)."""
+        import jax
+        import jax.numpy as jnp
+        from srgan_tpu.apps.crowd import (CrowdExperiment,
+                                          DENSITY_DOWNSAMPLE)
+        from srgan_tpu.ops.patches import extract_patches
+
+        exp = CrowdExperiment(self._settings(tmp_path,
+                                             validation_dataset_size=5))
+        exp.train()
+        got = exp.predict_image_counts(use_dnn=False)
+
+        # Host golden model: per-patch forward + NumPy canvas assembly.
+        p = exp.settings.image_patch_size
+        f = DENSITY_DOWNSAMPLE
+        db = exp.validation_db
+        h, w = db.image_size
+        offsets = exp._grid_offsets((h, w))
+        params = exp.state.d_params
+        want = np.zeros(len(db), np.float32)
+        for i in range(len(db)):
+            idx = np.full(len(offsets), i, np.int32)
+            patches = extract_patches(
+                jnp.asarray(db.images), jnp.asarray(offsets),
+                jnp.zeros(len(offsets), jnp.int32), patch_size=p,
+                scale=2.0 / 255.0, shift=-1.0, indices=jnp.asarray(idx))
+            maps = np.asarray(
+                exp.models.d_apply(params, patches)[0][0], np.float32)
+            canvas = np.zeros((h // f, w // f), np.float32)
+            weight = np.zeros((h // f, w // f), np.float32)
+            for (oy, ox), dm in zip(offsets, maps):
+                sy, sx = oy // f, ox // f
+                canvas[sy:sy + p // f, sx:sx + p // f] += dm
+                weight[sy:sy + p // f, sx:sx + p // f] += 1.0
+            want[i] = (canvas / np.maximum(weight, 1.0)).sum()
+        np.testing.assert_allclose(got, want, rtol=2e-4)
 
     def test_dnn_only_skips_untrained_d_grid_eval(self, tmp_path):
         """Regression (VERDICT r2 weak #1): a crowd --dnn_only trial must
@@ -794,6 +975,53 @@ def test_full_chain_preprocess_cli_to_training(tmp_path):
     test = exp.test()
     assert np.isfinite(val["MAE"]) and np.isfinite(test["MAE"])
     assert test["MAE"] != val["MAE"]  # genuinely distinct split
+
+
+def test_full_chain_tiled_database_training(tmp_path):
+    """Native-resolution user path: raw dir → preprocess --mode tiles →
+    database with image_ids → training → per-SOURCE-image evaluation
+    (tile counts aggregated before MAE, SURVEY.md §3.3/§3.5)."""
+    import jax
+    from srgan_tpu.data.crowd import main as preprocess_main
+    from srgan_tpu.apps.crowd import CrowdExperiment
+
+    rng = np.random.default_rng(0)
+    db_dir = tmp_path / "db"
+    db_dir.mkdir()
+    for split, n in (("labeled", 2), ("unlabeled", 2),
+                     ("validation", 2), ("test", 1)):
+        raw = tmp_path / f"raw_{split}"
+        raw.mkdir()
+        for i in range(n):
+            # native 96x128 images → 2x2 grid of 48x64 tiles each
+            _write_image(raw / f"img_{i:04d}.jpg", h=96, w=128)
+            heads = rng.uniform(5, 90, size=(int(rng.integers(2, 8)), 2))
+            savemat(raw / f"img_{i:04d}_ann.mat", {"annPoints": heads})
+        rc = preprocess_main([str(raw), str(db_dir / f"{split}.npz"),
+                              "--database", "ucf_qnrf", "--height", "48",
+                              "--width", "64", "--sigma", "3.0",
+                              "--mode", "tiles"])
+        assert rc == 0
+
+    settings = Settings(
+        trial_name="tiledchain", logs_directory=str(tmp_path / "logs"),
+        batch_size=8, steps_to_run=2, summary_step_period=2,
+        crowd_database_path=str(db_dir), image_patch_size=32,
+        model_base_width=8, latent_dimension=16, seed=0)
+    exp = CrowdExperiment(settings)
+    state = exp.train()
+    assert int(jax.device_get(state.step)) == 2
+    assert len(exp.labeled_db) == 8  # 2 images x 4 tiles
+    assert exp.labeled_db.num_source_images == 2
+    val = exp.evaluate()
+    assert np.isfinite(val["MAE"])
+    # per-image truth: aggregated tile masses reproduce the head counts
+    per_image = exp.validation_db.per_image_counts(
+        exp.validation_db.head_counts)
+    assert per_image.shape == (2,)
+    np.testing.assert_allclose(per_image, np.round(per_image), atol=1e-3)
+    test = exp.test()
+    assert np.isfinite(test["MAE"])
 
 
 def test_crowd_prepare_for_evaluation_restores(tmp_path):
