@@ -77,6 +77,36 @@ def run_trace(steps: int, seed: int, hidden_size: int,
             return (jnp.asarray(labeled.examples[idx]),
                     jnp.asarray(labeled.labels[idx]),
                     jnp.asarray(unlabeled.examples[uidx]))
+    elif app == "age":
+        # DCGAN path: ConvTranspose generator + conv regressor — pins the
+        # transposed-conv numerics the other traces don't touch
+        # (VERDICT r2 next #7).
+        from srgan_tpu.apps.age import AgeExperiment
+
+        settings = Settings(batch_size=4, labeled_dataset_size=8,
+                            unlabeled_dataset_size=8,
+                            validation_dataset_size=2,
+                            test_dataset_size=2,
+                            age_image_size=32, model_base_width=8,
+                            latent_dimension=8, seed=seed,
+                            compute_dtype="float32")
+        experiment = AgeExperiment(settings)
+        experiment.dataset_setup()
+        models, d_params, g_params, dnn_params = experiment.model_setup()
+        state = init_train_state(settings, d_params, g_params, dnn_params)
+        step_fn = jax.jit(make_gan_train_step(
+            settings, models,
+            labeled_loss_fn=experiment.labeled_loss_fn()))
+        labeled, unlabeled = experiment.labeled_dataset, \
+            experiment.unlabeled_dataset
+        rng = np.random.default_rng(settings.seed)
+
+        def next_batch():
+            idx = rng.integers(0, len(labeled), settings.batch_size)
+            uidx = rng.integers(0, len(unlabeled), settings.batch_size)
+            return (jnp.asarray(labeled.examples[idx]),
+                    jnp.asarray(labeled.labels[idx]),
+                    jnp.asarray(unlabeled.examples[uidx]))
     elif app == "crowd":
         from srgan_tpu.apps.crowd import CrowdExperiment
 
@@ -110,7 +140,7 @@ def run_trace(steps: int, seed: int, hidden_size: int,
             return (jnp.asarray(patches), jnp.asarray(labels),
                     jnp.asarray(upatches))
     else:
-        raise ValueError(f"unknown app {app!r}; choose coefficient|crowd")
+        raise ValueError(f"unknown app {app!r}; choose coefficient|age|crowd")
 
     keys = KeySequence(settings.seed, "train")
     trace = []
@@ -142,7 +172,7 @@ def compare_traces(trace: list, golden_trace: list, rtol: float,
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     parser.add_argument("mode", choices=["record", "compare"])
-    parser.add_argument("--app", choices=["coefficient", "crowd"],
+    parser.add_argument("--app", choices=["coefficient", "age", "crowd"],
                         default="coefficient")
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--seed", type=int, default=0)
