@@ -568,7 +568,7 @@ class CrowdExperiment(Experiment):
 
     def _grid_counts_fn(self, image_hw: Tuple[int, int], use_dnn: bool):
         """Build (cached) the device-side grid evaluator for one image
-        size: ``(params, images, ids[k]) → counts[k]``.
+        size: ``(params, images, ids[k], masks[k]) → counts[k]``.
 
         The whole test-time pipeline — sliding-grid patch extraction,
         model forward, overlap-averaged canvas reassembly, Σ — runs in
@@ -599,7 +599,7 @@ class CrowdExperiment(Experiment):
         # map, so full-image counts come from the COUNT head instead.
         head = 1 if self.uses_aux_target else 0
 
-        def counts_fn(params, images, ids):
+        def counts_fn(params, images, ids, masks):
             k = ids.shape[0]
             idx = jnp.repeat(ids, g)
             offs = jnp.tile(offsets_full, (k, 1))
@@ -609,7 +609,7 @@ class CrowdExperiment(Experiment):
             maps = apply(params, patches)[0][head].astype(jnp.float32)
             maps = maps.reshape(k, g, pf, pf)
 
-            def assemble(maps_i):
+            def assemble(maps_i, mask_i):
                 def body(j, canvas):
                     oy, ox = offsets_dev[j, 0], offsets_dev[j, 1]
                     cur = jax.lax.dynamic_slice(canvas, (oy, ox), (pf, pf))
@@ -618,15 +618,18 @@ class CrowdExperiment(Experiment):
 
                 canvas = jax.lax.fori_loop(
                     0, g, body, jnp.zeros((h // f, w // f), jnp.float32))
-                return jnp.sum(canvas * inv_weight)
+                # mask_i: [1, 1] (whole image) or the example's
+                # density-resolution ROI coverage (WorldExpo [L]).
+                return jnp.sum(canvas * inv_weight * mask_i)
 
-            return jax.vmap(assemble)(maps)
+            return jax.vmap(assemble)(maps, masks)
 
         if self.mesh.size > 1:
             from jax.sharding import PartitionSpec as P
             counts_fn = pmesh.shard_map_fn(
                 counts_fn, mesh=self.mesh,
-                in_specs=(P(), P(), P("data")), out_specs=P("data"))
+                in_specs=(P(), P(), P("data"), P("data")),
+                out_specs=P("data"))
         fn = jax.jit(counts_fn)
         self._grid_count_fns[key] = fn
         return fn
@@ -648,6 +651,18 @@ class CrowdExperiment(Experiment):
         else:  # one-shot eval of another split (e.g. test): upload now
             images = jax.device_put(
                 db.images, pmesh.replicated_sharding(self.mesh))
+        # ROI masks (WorldExpo [L]): fractional f×f coverage at density
+        # resolution, so partially-covered cells count proportionally.
+        # Without ROI a broadcastable [N, 1, 1] of ones keeps ONE code
+        # path (jit re-specializes on the mask shape).
+        h, w = db.image_size
+        f = DENSITY_DOWNSAMPLE
+        if db.roi_masks is not None:
+            mask_ds = db.roi_masks.reshape(
+                len(db), h // f, f, w // f, f).mean(axis=(2, 4)
+                                                   ).astype(np.float32)
+        else:
+            mask_ds = np.ones((len(db), 1, 1), np.float32)
         counts = np.zeros(len(db), np.float32)
         # Static chunk size (one compiled program): mesh-multiple so the
         # 'data'-sharded id vector divides evenly; tail chunks pad by
@@ -662,7 +677,8 @@ class CrowdExperiment(Experiment):
                     [image_ids,
                      np.full(chunk - k, image_ids[-1], np.int64)])
             got = np.asarray(jax.device_get(counts_fn(
-                params, images, jnp.asarray(image_ids, jnp.int32))))
+                params, images, jnp.asarray(image_ids, jnp.int32),
+                jnp.asarray(mask_ds[image_ids]))))
             counts[start:start + k] = got[:k]
         return counts
 

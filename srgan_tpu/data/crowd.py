@@ -97,6 +97,22 @@ def generate_iknn_map(head_positions: np.ndarray, height: int, width: int,
                    + epsilon)).astype(np.float32)
 
 
+def polygon_roi_mask(xs: np.ndarray, ys: np.ndarray, height: int,
+                     width: int) -> np.ndarray:
+    """Rasterize a region-of-interest polygon to a [H, W] uint8 mask.
+
+    Reference: WorldExpo'10 per-scene ROI polygons (SURVEY.md §2 6c [L])
+    — evaluation counts predicted density only inside the ROI.
+    """
+    from PIL import Image, ImageDraw
+
+    img = Image.new("L", (width, height), 0)
+    points = [(float(x), float(y)) for x, y in zip(np.ravel(xs),
+                                                   np.ravel(ys))]
+    ImageDraw.Draw(img).polygon(points, fill=1, outline=1)
+    return np.asarray(img, np.uint8)
+
+
 def render_density_windowed(head_positions: np.ndarray, height: int,
                             width: int, sigma: float = 8.0,
                             radius_sigmas: float = 4.0) -> np.ndarray:
@@ -162,6 +178,10 @@ class CrowdDatabase:
     # image's ORIGINAL pixel scale; per-image metrics aggregate tiles by
     # id. None → one example per source image (resize mode).
     image_ids: Optional[np.ndarray] = None
+    # Per-example region-of-interest masks [N, H, W] uint8 (WorldExpo'10
+    # per-scene ROI polygons [L]): evaluation counts predicted density
+    # only where mask == 1. None → whole image.
+    roi_masks: Optional[np.ndarray] = None
 
     def __post_init__(self):
         assert self.images.ndim == 4 and self.images.shape[3] == 3
@@ -169,6 +189,8 @@ class CrowdDatabase:
         assert len(self.head_counts) == len(self.images)
         if self.image_ids is not None:
             assert len(self.image_ids) == len(self.images)
+        if self.roi_masks is not None:
+            assert self.roi_masks.shape == self.images.shape[:3]
 
     def __len__(self) -> int:
         return len(self.images)
@@ -202,6 +224,8 @@ class CrowdDatabase:
             arrays["aux_maps"] = self.aux_maps
         if self.image_ids is not None:
             arrays["image_ids"] = self.image_ids
+        if self.roi_masks is not None:
+            arrays["roi_masks"] = self.roi_masks
         np.savez_compressed(path, **arrays)
 
     @classmethod
@@ -215,7 +239,9 @@ class CrowdDatabase:
                    label_type=(str(data["label_type"])
                                if "label_type" in data else "density"),
                    image_ids=(data["image_ids"]
-                              if "image_ids" in data else None))
+                              if "image_ids" in data else None),
+                   roi_masks=(data["roi_masks"]
+                              if "roi_masks" in data else None))
 
 
 # --------------------------------------------------------------------------
@@ -269,12 +295,66 @@ class DatabasePreprocessor:
         """Return [M, 2] float32 (x, y) head positions in raw-image pixels."""
         raise NotImplementedError
 
+    def load_roi_mask(self, image_path: str, raw_h: int,
+                      raw_w: int) -> Optional[np.ndarray]:
+        """Optional [raw_h, raw_w] uint8 region-of-interest mask for one
+        image (WorldExpo'10 per-scene ROI [L]); None → whole image."""
+        return None
+
+    # ------------------------------------------------- acquisition step
+    ARCHIVE_SUFFIXES = (".zip", ".tar", ".tar.gz", ".tgz", ".tar.bz2")
+
+    def resolve_raw_directory(self, raw: str) -> str:
+        """The reference's offline entry starts from a downloaded archive
+        (SURVEY.md §3.3 [M]: download → unpack → preprocess). Accepts:
+
+        * a directory — used as-is;
+        * an archive file — unpacked once into a sibling
+          ``<archive>_unpacked`` directory (cached across runs);
+        * a URL — downloaded first when ``SRGAN_ALLOW_DOWNLOAD=1`` is
+          set; otherwise fails fast with manual instructions (this
+          framework's standard environments have no network egress, and
+          the crowd archives are multi-GB — an implicit download should
+          never be a side effect of preprocessing).
+        """
+        if raw.startswith(("http://", "https://")):
+            target = os.path.join(
+                os.getcwd(), os.path.basename(raw) or "crowd_archive")
+            if not os.path.exists(target):
+                if os.environ.get("SRGAN_ALLOW_DOWNLOAD") != "1":
+                    raise RuntimeError(
+                        f"refusing to download {raw}: set "
+                        f"SRGAN_ALLOW_DOWNLOAD=1 to allow, or download "
+                        f"manually and pass the archive/directory path")
+                import urllib.request
+                urllib.request.urlretrieve(raw, target)
+            raw = target
+        if os.path.isfile(raw):
+            if not raw.endswith(self.ARCHIVE_SUFFIXES):
+                raise ValueError(
+                    f"{raw} is a file but not a supported archive "
+                    f"{self.ARCHIVE_SUFFIXES}")
+            for suffix in self.ARCHIVE_SUFFIXES:
+                if raw.endswith(suffix):
+                    base = raw[:-len(suffix)]
+                    break
+            unpacked = base + "_unpacked"
+            if not os.path.isdir(unpacked):
+                import shutil
+                tmp = unpacked + ".partial"
+                shutil.unpack_archive(raw, tmp)
+                os.replace(tmp, unpacked)  # atomic: no half-unpacked dir
+            return unpacked
+        return raw
+
     # ---------------------------------------------------------- pipeline
     def preprocess(self, raw_directory: str,
                    output_path: Optional[str] = None) -> CrowdDatabase:
         from PIL import Image
 
-        images, densities, counts, aux, ids = [], [], [], [], []
+        raw_directory = self.resolve_raw_directory(raw_directory)
+        images, densities, counts, aux, ids, rois = [], [], [], [], [], []
+        any_roi = False
         image_id = 0
         for image_path, ann_path in self.example_paths(raw_directory):
             with Image.open(image_path) as img:
@@ -287,13 +367,18 @@ class DatabasePreprocessor:
                         img.resize((self.width, self.height),
                                    Image.BILINEAR), np.uint8)
             heads_xy = self.load_head_positions(ann_path)
+            roi = self.load_roi_mask(image_path, raw_h, raw_w)
+            any_roi = any_roi or roi is not None
+            if roi is None:
+                roi = np.ones((raw_h, raw_w), np.uint8)
             if self.mode == "tiles":
                 heads_yx = (np.stack([heads_xy[:, 1], heads_xy[:, 0]],
                                      axis=-1)
                             if len(heads_xy) else np.zeros((0, 2),
                                                            np.float32))
                 self._append_tiles(pixels, heads_yx, image_id, images,
-                                   densities, counts, aux, ids)
+                                   densities, counts, aux, ids,
+                                   rois, roi)
             else:
                 # raw (x, y) → resized (y, x)
                 scale_x = self.width / raw_w
@@ -312,6 +397,11 @@ class DatabasePreprocessor:
                 images.append(pixels)
                 densities.append(density)
                 counts.append(float(len(heads_yx)))
+                with Image.fromarray(roi * 255) as m:
+                    rois.append((np.asarray(
+                        m.resize((self.width, self.height),
+                                 Image.NEAREST), np.uint8) > 0
+                        ).astype(np.uint8))
             image_id += 1
         database = CrowdDatabase(
             images=np.stack(images) if images else
@@ -323,14 +413,15 @@ class DatabasePreprocessor:
                       if aux else None),
             label_type=self.label_type,
             image_ids=(np.asarray(ids, np.int32)
-                       if self.mode == "tiles" else None))
+                       if self.mode == "tiles" else None),
+            roi_masks=(np.stack(rois) if rois and any_roi else None))
         if output_path:
             database.save(output_path)
         return database
 
     def _append_tiles(self, pixels: np.ndarray, heads_yx: np.ndarray,
                       image_id: int, images, densities, counts, aux,
-                      ids) -> None:
+                      ids, rois, roi: np.ndarray) -> None:
         """Cut one native-resolution image into (height, width) tiles.
 
         Density is rendered ONCE on the (padded) native canvas — the
@@ -345,6 +436,8 @@ class DatabasePreprocessor:
         ny, nx = -(-raw_h // th), -(-raw_w // tw)
         padded = np.zeros((ny * th, nx * tw, 3), np.uint8)
         padded[:raw_h, :raw_w] = pixels
+        padded_roi = np.zeros((ny * th, nx * tw), np.uint8)
+        padded_roi[:raw_h, :raw_w] = roi
         canvas = render_density_windowed(heads_yx, ny * th, nx * tw,
                                          self.sigma)
         for ty in range(ny):
@@ -355,6 +448,7 @@ class DatabasePreprocessor:
                 densities.append(tile_density)
                 counts.append(float(tile_density.sum()))
                 ids.append(image_id)
+                rois.append(padded_roi[ys:ys + th, xs:xs + tw])
                 if self.label_type == "knn":
                     aux.append(generate_knn_map(
                         heads_yx, th, tw, self.knn_k,
@@ -459,6 +553,29 @@ class WorldExpoPreprocessor(DatabasePreprocessor):
         if points.size == 0:
             return np.zeros((0, 2), np.float32)
         return points.reshape(-1, 2)
+
+    def load_roi_mask(self, image_path: str, raw_h: int,
+                      raw_w: int) -> Optional[np.ndarray]:
+        """Per-scene ROI polygon (``roi.mat`` next to the frames, keys
+        ``maskVerticesXCoordinates``/``maskVerticesYCoordinates`` —
+        WorldExpo'10 distribution convention [L]); cached per scene.
+        Evaluation then counts predicted density only inside the ROI."""
+        scene_dir = os.path.dirname(image_path)
+        key = (scene_dir, raw_h, raw_w)
+        cache = getattr(self, "_roi_cache", None)
+        if cache is None:
+            cache = self._roi_cache = {}
+        if key not in cache:
+            roi_path = os.path.join(scene_dir, "roi.mat")
+            if not os.path.exists(roi_path):
+                cache[key] = None
+            else:
+                from scipy.io import loadmat
+                data = loadmat(roi_path)
+                cache[key] = polygon_roi_mask(
+                    data["maskVerticesXCoordinates"],
+                    data["maskVerticesYCoordinates"], raw_h, raw_w)
+        return cache[key]
 
 
 PREPROCESSORS: Dict[str, type] = {

@@ -215,6 +215,45 @@ class TestTiledPreprocessing:
                                       db.head_counts)
 
 
+class TestArchiveEntry:
+    """The reference's offline acquisition step (download → unpack →
+    preprocess, SURVEY §3.3 [M]): archives unpack once and cache; URLs
+    fail fast without explicit opt-in (no implicit multi-GB downloads)."""
+
+    def _make_archive(self, tmp_path):
+        import shutil
+        raw = tmp_path / "src"
+        raw.mkdir()
+        _write_image(raw / "img_0001.jpg")
+        savemat(raw / "img_0001_ann.mat",
+                {"annPoints": np.array([[10.0, 20.0]])})
+        return shutil.make_archive(str(tmp_path / "qnrf"), "zip",
+                                   root_dir=str(raw))
+
+    def test_preprocess_from_archive(self, tmp_path):
+        archive = self._make_archive(tmp_path)
+        pre = UcfQnrfPreprocessor(height=40, width=60, sigma=3.0)
+        db = pre.preprocess(archive)
+        assert len(db) == 1 and db.head_counts[0] == 1.0
+        # unpacked dir cached next to the archive for reuse
+        assert os.path.isdir(str(tmp_path / "qnrf_unpacked"))
+        again = pre.preprocess(archive)  # cache hit, same result
+        np.testing.assert_array_equal(again.images, db.images)
+
+    def test_url_refused_without_opt_in(self, tmp_path, monkeypatch):
+        monkeypatch.delenv("SRGAN_ALLOW_DOWNLOAD", raising=False)
+        pre = UcfQnrfPreprocessor()
+        with pytest.raises(RuntimeError, match="SRGAN_ALLOW_DOWNLOAD"):
+            pre.resolve_raw_directory("https://example.com/qnrf.zip")
+
+    def test_non_archive_file_rejected(self, tmp_path):
+        bad = tmp_path / "raw.txt"
+        bad.write_text("not an archive")
+        pre = UcfQnrfPreprocessor()
+        with pytest.raises(ValueError, match="not a supported archive"):
+            pre.resolve_raw_directory(str(bad))
+
+
 class TestSyntheticDatabase:
     def test_shapes_and_mass(self):
         db = synthetic_crowd_database(4, height=48, width=64, max_heads=10,
@@ -319,6 +358,33 @@ class TestPreprocessors:
         np.testing.assert_allclose(db.head_counts, [1.0, 0.0])
         np.testing.assert_allclose(db.density_maps[0].sum(), 1.0, rtol=1e-3)
         assert db.density_maps[1].sum() == 0.0
+
+    def test_world_expo_roi_masks(self, tmp_path):
+        """WorldExpo per-scene roi.mat (ROI polygon) → db.roi_masks;
+        scenes without roi.mat get whole-image masks."""
+        from srgan_tpu.data.crowd import WorldExpoPreprocessor
+        raw = tmp_path / "raw" / "scene_1"
+        raw.mkdir(parents=True)
+        _write_image(raw / "1_1.jpg", h=40, w=60)
+        savemat(raw / "1_1.mat",
+                {"point_position": np.array([[10.0, 20.0]])})
+        # ROI polygon: left half of the frame
+        savemat(raw / "roi.mat",
+                {"maskVerticesXCoordinates": np.array([[0.0], [29.0],
+                                                       [29.0], [0.0]]),
+                 "maskVerticesYCoordinates": np.array([[0.0], [0.0],
+                                                       [39.0], [39.0]])})
+        pre = WorldExpoPreprocessor(height=40, width=60, sigma=3.0)
+        db = pre.preprocess(str(tmp_path / "raw"))
+        assert db.roi_masks is not None
+        assert db.roi_masks[0, 20, 5] == 1    # inside ROI
+        assert db.roi_masks[0, 20, 50] == 0   # outside ROI
+
+    def test_polygon_roi_mask_rasterization(self):
+        from srgan_tpu.data.crowd import polygon_roi_mask
+        m = polygon_roi_mask([0, 9, 9, 0], [0, 0, 9, 9], 20, 20)
+        assert m[5, 5] == 1 and m[15, 15] == 0
+        assert m.shape == (20, 20) and m.dtype == np.uint8
 
     def test_all_four_preprocessors_registered(self):
         from srgan_tpu.data.crowd import PREPROCESSORS
@@ -572,6 +638,72 @@ class TestCrowdExperiment:
                 weight[sy:sy + p // f, sx:sx + p // f] += 1.0
             want[i] = (canvas / np.maximum(weight, 1.0)).sum()
         np.testing.assert_allclose(got, want, rtol=2e-4)
+
+    def test_roi_masked_eval_matches_golden_model(self, tmp_path):
+        """WorldExpo-convention evaluation: predicted density counted
+        only inside the (fractional, density-resolution) ROI."""
+        import dataclasses
+        import jax
+        from srgan_tpu.apps.crowd import (CrowdExperiment,
+                                          DENSITY_DOWNSAMPLE)
+
+        exp = CrowdExperiment(self._settings(tmp_path,
+                                             validation_dataset_size=3))
+        exp.train()
+        db = exp.validation_db
+        h, w = db.image_size
+        f = DENSITY_DOWNSAMPLE
+        rng = np.random.default_rng(0)
+        rois = (rng.uniform(size=(len(db), h, w)) < 0.5).astype(np.uint8)
+        masked_db = dataclasses.replace(db, roi_masks=rois)
+        unmasked = exp.predict_image_counts(use_dnn=False, db=db)
+        masked = exp.predict_image_counts(use_dnn=False, db=masked_db)
+        assert not np.allclose(masked, unmasked)  # the mask is applied
+
+        # Golden model: host canvas reassembly with the fractional
+        # density-resolution ROI coverage applied before summation.
+        import jax.numpy as jnp
+        from srgan_tpu.ops.patches import extract_patches
+        p = exp.settings.image_patch_size
+        offsets = exp._grid_offsets((h, w))
+        mask_ds = rois.reshape(len(db), h // f, f, w // f, f).mean(
+            axis=(2, 4)).astype(np.float32)
+        want = np.zeros(len(db), np.float32)
+        for i in range(len(db)):
+            patches = extract_patches(
+                jnp.asarray(db.images), jnp.asarray(offsets),
+                jnp.zeros(len(offsets), jnp.int32), patch_size=p,
+                scale=2.0 / 255.0, shift=-1.0,
+                indices=jnp.full(len(offsets), i, jnp.int32))
+            maps = np.asarray(
+                exp.models.d_apply(exp.state.d_params, patches)[0][0],
+                np.float32)
+            canvas = np.zeros((h // f, w // f), np.float32)
+            weight = np.zeros((h // f, w // f), np.float32)
+            for (oy, ox), dm in zip(offsets, maps):
+                sy, sx = oy // f, ox // f
+                canvas[sy:sy + p // f, sx:sx + p // f] += dm
+                weight[sy:sy + p // f, sx:sx + p // f] += 1.0
+            want[i] = ((canvas / np.maximum(weight, 1.0))
+                       * mask_ds[i]).sum()
+        np.testing.assert_allclose(masked, want, rtol=2e-4)
+
+        # Full-coverage mask path is exact vs the unmasked path.
+        ones_db = dataclasses.replace(
+            db, roi_masks=np.ones((len(db), h, w), np.uint8))
+        with_ones = exp.predict_image_counts(use_dnn=False, db=ones_db)
+        np.testing.assert_allclose(with_ones, unmasked, rtol=1e-5)
+
+    def test_roi_masks_save_load_roundtrip(self, tmp_path):
+        import dataclasses
+        db = synthetic_crowd_database(2, height=32, width=32, seed=0)
+        rois = np.zeros((2, 32, 32), np.uint8)
+        rois[:, :16] = 1
+        db = dataclasses.replace(db, roi_masks=rois)
+        path = str(tmp_path / "roi.npz")
+        db.save(path)
+        loaded = CrowdDatabase.load(path)
+        np.testing.assert_array_equal(loaded.roi_masks, rois)
 
     def test_dnn_only_skips_untrained_d_grid_eval(self, tmp_path):
         """Regression (VERDICT r2 weak #1): a crowd --dnn_only trial must
