@@ -39,7 +39,18 @@ WARMUP_STEPS = 3
 TIMED_STEPS = 20
 
 
-def main() -> None:
+def main(argv=None) -> None:
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    # Measures the HOST C++ input tier (native/srgan_io.cc threaded
+    # prefetcher) instead of the default HBM-resident Pallas path — the
+    # number that decides between tiers for larger-than-HBM databases.
+    # The driver's contract (`python bench.py`, one JSON line) is the
+    # default path, unchanged.
+    parser.add_argument("--host_pipeline", action="store_true")
+    args = parser.parse_args(argv)
+
     import jax
 
     # Persist compiled executables: the remote-tunnel compile of the 224px
@@ -60,6 +71,7 @@ def main() -> None:
         crowd_image_height=384, crowd_image_width=512,
         steps_to_run=0, seed=0,
         compute_dtype="bfloat16",
+        crowd_host_pipeline=args.host_pipeline,
     )
     exp = CrowdExperiment(settings)
     exp.dataset_setup()
@@ -74,18 +86,33 @@ def main() -> None:
     data = exp._device_data
     hw = exp.labeled_db.image_size
 
-    def one_step(key):
-        idx, offs, flips, sidx = exp._random_patch_args(
-            rng, len(exp.labeled_db), hw, BATCH)
-        uidx, uoffs, uflips, usidx = exp._random_patch_args(
-            rng, len(exp.unlabeled_db), hw, BATCH)
-        patches, density, upatches = exp._sample_batch(
-            data["labeled_images"], data["labeled_density"],
-            data["unlabeled_images"], idx, offs, flips, sidx,
-            uidx, uoffs, uflips, usidx)
-        exp.state, metrics = exp._train_step(
-            exp.state, patches, density, upatches, key)
-        return metrics
+    if args.host_pipeline:
+        epochs = exp.epoch_batch_iterators()
+
+        def _chain():
+            while True:  # epochs here are 1 step long (16-image split)
+                yield from next(epochs)
+
+        batches = _chain()
+
+        def one_step(key):
+            patches, density, upatches = next(batches)
+            exp.state, metrics = exp._train_step(
+                exp.state, patches, density, upatches, key)
+            return metrics
+    else:
+        def one_step(key):
+            idx, offs, flips, sidx = exp._random_patch_args(
+                rng, len(exp.labeled_db), hw, BATCH)
+            uidx, uoffs, uflips, usidx = exp._random_patch_args(
+                rng, len(exp.unlabeled_db), hw, BATCH)
+            patches, density, upatches = exp._sample_batch(
+                data["labeled_images"], data["labeled_density"],
+                data["unlabeled_images"], idx, offs, flips, sidx,
+                uidx, uoffs, uflips, usidx)
+            exp.state, metrics = exp._train_step(
+                exp.state, patches, density, upatches, key)
+            return metrics
 
     import jax.random as jrandom
     key = jrandom.key(0)
@@ -104,8 +131,11 @@ def main() -> None:
     elapsed = time.perf_counter() - start
 
     images_per_sec = BATCH * TIMED_STEPS / elapsed
+    metric = "crowd_srgan_images_per_sec_per_chip"
+    if args.host_pipeline:
+        metric += "_host_pipeline"
     print(json.dumps({
-        "metric": "crowd_srgan_images_per_sec_per_chip",
+        "metric": metric,
         "value": round(images_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(

@@ -263,6 +263,15 @@ class CrowdExperiment(Experiment):
         """
         from srgan_tpu.io import NativeDatasetReader, NativePrefetcher
 
+        import warnings
+        warnings.warn(
+            "crowd_host_pipeline streams batches from the host: measured "
+            "40.5 img/s vs 795.9 on the HBM-resident path at the "
+            "flagship config (BASELINE.md round 3) — input-bound on a "
+            "1-core host. Prefer crowd_shard_dataset=True (HBM capacity "
+            "scales with mesh size at full speed); use the host tier "
+            "only for databases larger than HBM x mesh size.",
+            stacklevel=2)
         settings = self.settings
         if settings.crowd_database_path:
             cache = os.path.join(settings.crowd_database_path,

@@ -60,15 +60,20 @@ class SRGANTrainState:
     dnn_opt: Optional[optax.OptState] = None
 
 
-def make_optimizer(settings: Settings,
-                   weight_decay: bool = False) -> optax.GradientTransformation:
-    """Adam (AdamW when decayed) mirroring `prepare_optimizers` [H]."""
+def make_optimizer(settings: Settings, weight_decay: bool = False,
+                   learning_rate=None) -> optax.GradientTransformation:
+    """Adam (AdamW when decayed) mirroring `prepare_optimizers` [H].
+
+    ``learning_rate`` overrides ``settings.learning_rate``; it may be a
+    TRACED scalar when the optimizer is built inside a trace (the sweep
+    harness vmaps lanes over hyperparameters — Adam's state contains no
+    lr, so traced-lr optimizers share init structure with static ones).
+    """
+    lr = settings.learning_rate if learning_rate is None else learning_rate
     if weight_decay and settings.weight_decay > 0.0:
-        return optax.adamw(settings.learning_rate, b1=settings.adam_b1,
-                           b2=settings.adam_b2,
+        return optax.adamw(lr, b1=settings.adam_b1, b2=settings.adam_b2,
                            weight_decay=settings.weight_decay)
-    return optax.adam(settings.learning_rate, b1=settings.adam_b1,
-                      b2=settings.adam_b2)
+    return optax.adam(lr, b1=settings.adam_b1, b2=settings.adam_b2)
 
 
 def init_train_state(settings: Settings, d_params: Params, g_params: Params,
@@ -96,6 +101,7 @@ def make_gan_train_step(
     models: ModelBundle,
     labeled_loss_fn: Optional[Callable[[Any, Array], Array]] = None,
     latent_shape: Optional[Tuple[int, ...]] = None,
+    hyper: Optional[Dict[str, Any]] = None,
 ) -> Callable[[SRGANTrainState, Array, Array, Array, Array],
               Tuple[SRGANTrainState, Dict[str, Array]]]:
     """Build the fused (D + G [+ DNN]) step: one jittable pure function.
@@ -108,11 +114,29 @@ def make_gan_train_step(
     unlabeled / fake / interpolated batches; one optimizer step over the sum
     of the four streams; G updated every `generator_training_step_period`
     steps; the DNN baseline trained on the same labeled batch.
+
+    ``hyper`` optionally overrides the loss multipliers / learning rate
+    with (possibly TRACED) scalars — this is how `tools/sweep.py` trains
+    whole hyperparameter grids through THIS step (one vmapped program,
+    no reimplementation that could drift from the shipped math). Keys:
+    ``unlabeled_loss_multiplier``, ``fake_loss_multiplier``,
+    ``gradient_penalty_multiplier``, ``learning_rate``.
     """
     labeled_loss_fn = labeled_loss_fn or default_labeled_loss_fn(settings)
-    d_tx = make_optimizer(settings, weight_decay=True)
-    g_tx = make_optimizer(settings)
-    dnn_tx = make_optimizer(settings, weight_decay=True)
+    h = {k: getattr(settings, k)
+         for k in ("unlabeled_loss_multiplier", "fake_loss_multiplier",
+                   "gradient_penalty_multiplier", "learning_rate")}
+    if hyper:
+        unknown = set(hyper) - set(h)
+        if unknown:
+            raise ValueError(f"unknown hyper overrides {sorted(unknown)}; "
+                             f"choose from {sorted(h)}")
+        h.update(hyper)
+    d_tx = make_optimizer(settings, weight_decay=True,
+                          learning_rate=h["learning_rate"])
+    g_tx = make_optimizer(settings, learning_rate=h["learning_rate"])
+    dnn_tx = make_optimizer(settings, weight_decay=True,
+                            learning_rate=h["learning_rate"])
     z_dim = settings.latent_dimension
     period = settings.generator_training_step_period
 
@@ -158,10 +182,10 @@ def make_gan_train_step(
                                           unlabeled_x, fake)
         l_loss = labeled_loss_fn(pred_l, labels)
         u_loss = losses.unlabeled_loss(
-            f_l, f_u, multiplier=settings.unlabeled_loss_multiplier,
+            f_l, f_u, multiplier=h["unlabeled_loss_multiplier"],
             order=settings.unlabeled_loss_order)
         f_loss = losses.fake_loss(
-            f_u, f_f, multiplier=settings.fake_loss_multiplier,
+            f_u, f_f, multiplier=h["fake_loss_multiplier"],
             order=settings.fake_loss_order,
             distance_function=settings.contrasting_distance_function)
         # Gradient penalty at unlabeled↔fake interpolates: differentiate the
@@ -174,13 +198,13 @@ def make_gan_train_step(
         def interp_loss_fn(x: Array) -> Array:
             _, f_i = models.d_apply(d_params, x)
             return losses.fake_loss(
-                f_u_const, f_i, multiplier=settings.fake_loss_multiplier,
+                f_u_const, f_i, multiplier=h["fake_loss_multiplier"],
                 order=settings.fake_loss_order,
                 distance_function=settings.contrasting_distance_function)
 
         interp_grads = jax.grad(interp_loss_fn)(interp)
         gp = losses.gradient_penalty(
-            interp_grads, multiplier=settings.gradient_penalty_multiplier)
+            interp_grads, multiplier=h["gradient_penalty_multiplier"])
         total = l_loss + u_loss + f_loss + gp
         metrics = {"d_labeled_loss": l_loss, "d_unlabeled_loss": u_loss,
                    "d_fake_loss": f_loss, "d_gradient_penalty": gp,

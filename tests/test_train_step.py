@@ -114,3 +114,47 @@ def test_training_reduces_losses_over_steps():
     last = float(metrics["dnn_loss"])
     assert last < first
     assert float(metrics["d_labeled_loss"]) < 10.0
+
+
+def test_hyper_overrides_match_settings_constants():
+    """make_gan_train_step(hyper=...) with values equal to the settings
+    constants must produce the IDENTICAL step (the sweep harness trains
+    through this path); unknown keys fail fast."""
+    import pytest
+
+    settings, models, state, step = _setup()
+    hyper = {"unlabeled_loss_multiplier": jnp.float32(
+                 settings.unlabeled_loss_multiplier),
+             "fake_loss_multiplier": jnp.float32(
+                 settings.fake_loss_multiplier),
+             "gradient_penalty_multiplier": jnp.float32(
+                 settings.gradient_penalty_multiplier),
+             "learning_rate": jnp.float32(settings.learning_rate)}
+    step_h = make_gan_train_step(settings, models, hyper=hyper)
+    labeled, labels, unlabeled = _batch(settings)
+    s1, m1 = jax.jit(step)(state, labeled, labels, unlabeled,
+                           jax.random.key(3))
+    s2, m2 = jax.jit(step_h)(state, labeled, labels, unlabeled,
+                             jax.random.key(3))
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    with pytest.raises(ValueError, match="unknown hyper"):
+        make_gan_train_step(settings, models, hyper={"bogus": 1.0})
+
+
+def test_hyper_overrides_change_training():
+    """A different traced multiplier must actually change the update."""
+    settings, models, state, step = _setup()
+    step_h = make_gan_train_step(
+        settings, models,
+        hyper={"gradient_penalty_multiplier": jnp.float32(1000.0)})
+    labeled, labels, unlabeled = _batch(settings)
+    _, m1 = jax.jit(step)(state, labeled, labels, unlabeled,
+                          jax.random.key(0))
+    _, m2 = jax.jit(step_h)(state, labeled, labels, unlabeled,
+                            jax.random.key(0))
+    assert float(m2["d_gradient_penalty"]) > 10 * float(
+        m1["d_gradient_penalty"])

