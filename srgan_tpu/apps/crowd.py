@@ -575,9 +575,12 @@ class CrowdExperiment(Experiment):
     # multiple so every device carries equal eval work.
     EVAL_CHUNK_IMAGES = 8
 
-    def _grid_counts_fn(self, image_hw: Tuple[int, int], use_dnn: bool):
+    def _grid_counts_fn(self, image_hw: Tuple[int, int], use_dnn: bool,
+                        return_maps: bool = False):
         """Build (cached) the device-side grid evaluator for one image
-        size: ``(params, images, ids[k], masks[k]) → counts[k]``.
+        size: ``(params, images, ids[k], masks[k]) → counts[k]`` (or the
+        full overlap-averaged density canvases ``[k, H/f, W/f]`` with
+        ``return_maps``).
 
         The whole test-time pipeline — sliding-grid patch extraction,
         model forward, overlap-averaged canvas reassembly, Σ — runs in
@@ -586,7 +589,7 @@ class CrowdExperiment(Experiment):
         'data' so evaluation data-parallelizes like training (VERDICT r2
         weak #3: eval used to reassemble canvases in nested host loops
         on replicated devices)."""
-        key = (image_hw, bool(use_dnn))
+        key = (image_hw, bool(use_dnn), bool(return_maps))
         if key in self._grid_count_fns:
             return self._grid_count_fns[key]
         p = self.settings.image_patch_size
@@ -629,7 +632,8 @@ class CrowdExperiment(Experiment):
                     0, g, body, jnp.zeros((h // f, w // f), jnp.float32))
                 # mask_i: [1, 1] (whole image) or the example's
                 # density-resolution ROI coverage (WorldExpo [L]).
-                return jnp.sum(canvas * inv_weight * mask_i)
+                weighted = canvas * inv_weight * mask_i
+                return weighted if return_maps else jnp.sum(weighted)
 
             return jax.vmap(assemble)(maps, masks)
 
@@ -643,6 +647,17 @@ class CrowdExperiment(Experiment):
         self._grid_count_fns[key] = fn
         return fn
 
+    def predict_density_maps(self, use_dnn: Optional[bool] = None,
+                             db: Optional[CrowdDatabase] = None
+                             ) -> np.ndarray:
+        """Full predicted density maps ``[N, H/4, W/4]`` for a split
+        (default: validation) — the overlap-averaged sliding-grid
+        canvases the count metrics integrate, exposed for visualization
+        / downstream use (reference users inspect density maps, not just
+        counts). Same device-side pipeline as
+        :meth:`predict_image_counts`; ROI masks applied when present."""
+        return self._predict_grid(use_dnn, db, return_maps=True)
+
     def predict_image_counts(self, use_dnn: Optional[bool] = None,
                              db: Optional[CrowdDatabase] = None
                              ) -> np.ndarray:
@@ -650,11 +665,17 @@ class CrowdExperiment(Experiment):
         validation): grid patches → predicted maps → overlap-averaged
         canvas → Σ, entirely on device; several images' grids are
         batched into each device call and sharded over the mesh."""
+        return self._predict_grid(use_dnn, db, return_maps=False)
+
+    def _predict_grid(self, use_dnn: Optional[bool],
+                      db: Optional[CrowdDatabase],
+                      return_maps: bool) -> np.ndarray:
         use_dnn = self._resolve_use_dnn(use_dnn)
         use_cached_images = db is None or db is self.validation_db
         db = db if db is not None else self.validation_db
         params = (self.state.dnn_params if use_dnn else self.state.d_params)
-        counts_fn = self._grid_counts_fn(db.image_size, use_dnn)
+        counts_fn = self._grid_counts_fn(db.image_size, use_dnn,
+                                         return_maps=return_maps)
         if use_cached_images:
             images = self._device_data["validation_images"]
         else:  # one-shot eval of another split (e.g. test): upload now
@@ -672,7 +693,9 @@ class CrowdExperiment(Experiment):
                                                    ).astype(np.float32)
         else:
             mask_ds = np.ones((len(db), 1, 1), np.float32)
-        counts = np.zeros(len(db), np.float32)
+        out_shape = ((len(db), h // f, w // f) if return_maps
+                     else (len(db),))
+        counts = np.zeros(out_shape, np.float32)
         # Static chunk size (one compiled program): mesh-multiple so the
         # 'data'-sharded id vector divides evenly; tail chunks pad by
         # repeating the last id and drop the padded outputs.

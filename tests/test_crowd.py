@@ -639,6 +639,22 @@ class TestCrowdExperiment:
             want[i] = (canvas / np.maximum(weight, 1.0)).sum()
         np.testing.assert_allclose(got, want, rtol=2e-4)
 
+    def test_predict_density_maps_integrate_to_counts(self, tmp_path):
+        """predict_density_maps exposes the overlap-averaged canvases;
+        their integrals must equal predict_image_counts exactly."""
+        from srgan_tpu.apps.crowd import (CrowdExperiment,
+                                          DENSITY_DOWNSAMPLE)
+
+        exp = CrowdExperiment(self._settings(tmp_path))
+        exp.train()
+        maps = exp.predict_density_maps(use_dnn=False)
+        counts = exp.predict_image_counts(use_dnn=False)
+        h, w = exp.validation_db.image_size
+        f = DENSITY_DOWNSAMPLE
+        assert maps.shape == (len(exp.validation_db), h // f, w // f)
+        np.testing.assert_allclose(maps.sum(axis=(1, 2)), counts,
+                                   rtol=1e-4)
+
     def test_roi_masked_eval_matches_golden_model(self, tmp_path):
         """WorldExpo-convention evaluation: predicted density counted
         only inside the (fractional, density-resolution) ROI."""
