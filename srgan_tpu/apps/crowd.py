@@ -414,6 +414,14 @@ class CrowdExperiment(Experiment):
                 raise ValueError(
                     f"crowd_rescale_factors produce degenerate windows "
                     f"{windows} at patch size {p}")
+            limit = min(min(self.labeled_db.image_size),
+                        min(self.unlabeled_db.image_size))
+            if max(windows) > limit:
+                raise ValueError(
+                    f"largest rescale window {max(windows)} "
+                    f"(patch {p} x factor {max(self.settings.crowd_rescale_factors)}) "
+                    f"exceeds the smallest image dimension {limit}; "
+                    f"reduce the factors or use larger images")
 
         def sample_fn(labeled_images, labeled_density, unlabeled_images,
                       idx, offs, flips, sidx, uidx, uoffs, uflips, usidx):
@@ -719,9 +727,11 @@ class CrowdExperiment(Experiment):
                        per_example_pred: np.ndarray) -> Dict[str, float]:
         """Per-SOURCE-image count metrics: tiled databases aggregate
         example (tile) counts by ``image_ids`` first, so MAE/NVE keep the
-        reference's per-image definition at native resolution."""
+        reference's per-image definition at native resolution. Ground
+        truth follows the same ROI convention as predictions (both
+        masked, or neither — see CrowdDatabase.roi_head_counts)."""
         pred = db.per_image_counts(per_example_pred)
-        true_counts = db.per_image_counts(db.head_counts)
+        true_counts = db.per_image_counts(db.roi_head_counts())
         return {"MAE": float(metrics.mae(pred, true_counts)),
                 "RMSE": float(metrics.rmse(pred, true_counts)),
                 "NVE": float(metrics.nve(pred, true_counts)),

@@ -47,6 +47,7 @@ def generate_density_label(head_positions: np.ndarray, height: int,
 
 def generate_knn_map(head_positions: np.ndarray, height: int, width: int,
                      k: int = 1, origin: Tuple[float, float] = (0.0, 0.0),
+                     empty_value: Optional[float] = None,
                      _chunk: int = 64) -> np.ndarray:
     """Per-pixel mean distance to the k nearest annotated heads.
 
@@ -69,7 +70,12 @@ def generate_knn_map(head_positions: np.ndarray, height: int, width: int,
     yy += np.float32(oy)
     xx += np.float32(ox)
     if len(heads) == 0:
-        diag = np.float32(np.hypot(height, width))
+        # "No crowd anywhere" → the maximum possible distance. For a TILE
+        # of a larger canvas the tile diagonal would UNDERSTATE it (a
+        # zero-head image must not read as closer crowd than a far-away
+        # one), so tile callers pass the source-canvas diagonal.
+        diag = np.float32(empty_value if empty_value is not None
+                          else np.hypot(height, width))
         return np.full((height, width), diag, np.float32)
     k = min(k, len(heads))
     best = np.full((height, width, k), np.inf, np.float32)
@@ -87,13 +93,14 @@ def generate_knn_map(head_positions: np.ndarray, height: int, width: int,
 
 def generate_iknn_map(head_positions: np.ndarray, height: int, width: int,
                       k: int = 1, epsilon: float = 1.0,
-                      origin: Tuple[float, float] = (0.0, 0.0)
-                      ) -> np.ndarray:
+                      origin: Tuple[float, float] = (0.0, 0.0),
+                      empty_value: Optional[float] = None) -> np.ndarray:
     """Inverse kNN map: ``1 / (knn + ε)`` — bounded, crowd-density-like
     response that the crowd-paper branch regresses instead of raw kNN
     distance (iKNN maps [M])."""
     return (1.0 / (generate_knn_map(head_positions, height, width, k,
-                                    origin=origin)
+                                    origin=origin,
+                                    empty_value=empty_value)
                    + epsilon)).astype(np.float32)
 
 
@@ -204,6 +211,26 @@ class CrowdDatabase:
         if self.image_ids is None:
             return len(self.images)
         return int(self.image_ids.max()) + 1 if len(self.image_ids) else 0
+
+    def roi_head_counts(self) -> np.ndarray:
+        """Per-example ground-truth counts under the ROI convention.
+
+        Without ROI masks this is ``head_counts``. With masks, the truth
+        is the density mass INSIDE the ROI — symmetric with evaluation,
+        which sums predicted density inside the ROI (WorldExpo protocol:
+        both sides masked; scoring masked predictions against unmasked
+        head counts would bias MAE upward by the out-of-ROI mass).
+        Cached after first computation (the masked reduction is O(N·H·W)).
+        """
+        if self.roi_masks is None:
+            return self.head_counts
+        cached = getattr(self, "_roi_counts_cache", None)
+        if cached is None:
+            cached = (self.density_maps
+                      * self.roi_masks.astype(np.float32)
+                      ).sum(axis=(1, 2)).astype(np.float32)
+            self._roi_counts_cache = cached
+        return cached
 
     def per_image_counts(self, per_example: np.ndarray) -> np.ndarray:
         """Aggregate a per-example (per-tile) count vector to per-SOURCE-
@@ -318,8 +345,12 @@ class DatabasePreprocessor:
           never be a side effect of preprocessing).
         """
         if raw.startswith(("http://", "https://")):
-            target = os.path.join(
-                os.getcwd(), os.path.basename(raw) or "crowd_archive")
+            from urllib.parse import urlparse
+            # basename of the URL PATH: query strings (signed mirror
+            # links) must not leak into the local filename or the
+            # archive-suffix check below.
+            name = os.path.basename(urlparse(raw).path)
+            target = os.path.join(os.getcwd(), name or "crowd_archive")
             if not os.path.exists(target):
                 if os.environ.get("SRGAN_ALLOW_DOWNLOAD") != "1":
                     raise RuntimeError(
@@ -449,14 +480,19 @@ class DatabasePreprocessor:
                 counts.append(float(tile_density.sum()))
                 ids.append(image_id)
                 rois.append(padded_roi[ys:ys + th, xs:xs + tw])
+                # Empty-annotation fallback distance: the SOURCE canvas
+                # diagonal (a tile's own diagonal would understate "no
+                # crowd anywhere" relative to far-away crowd in other
+                # images' tiles).
+                diag = float(np.hypot(ny * th, nx * tw))
                 if self.label_type == "knn":
                     aux.append(generate_knn_map(
                         heads_yx, th, tw, self.knn_k,
-                        origin=(float(ys), float(xs))))
+                        origin=(float(ys), float(xs)), empty_value=diag))
                 elif self.label_type == "iknn":
                     aux.append(generate_iknn_map(
                         heads_yx, th, tw, self.knn_k,
-                        origin=(float(ys), float(xs))))
+                        origin=(float(ys), float(xs)), empty_value=diag))
 
 
 class UcfQnrfPreprocessor(DatabasePreprocessor):

@@ -202,6 +202,22 @@ class TestTiledPreprocessing:
                                        origin=(40.0, 60.0))
         np.testing.assert_allclose(db.aux_maps[3], want_tile3, rtol=1e-5)
 
+    def test_empty_annotation_knn_uses_source_diagonal(self, tmp_path):
+        """A zero-head image's tile kNN maps must use the SOURCE canvas
+        diagonal, not the (much smaller) tile diagonal — otherwise 'no
+        crowd anywhere' reads as closer crowd than far-away crowd
+        (review r3)."""
+        raw = tmp_path / "raw"
+        raw.mkdir()
+        _write_image(raw / "img_0001.jpg", h=80, w=120)
+        savemat(raw / "img_0001_ann.mat",
+                {"annPoints": np.zeros((0, 2))})
+        pre = UcfQnrfPreprocessor(height=40, width=60, sigma=3.0,
+                                  label_type="knn", mode="tiles")
+        db = pre.preprocess(str(raw))
+        np.testing.assert_allclose(db.aux_maps, np.hypot(80, 120),
+                                   rtol=1e-6)
+
     def test_save_load_roundtrip_keeps_image_ids(self, tmp_path):
         db = self._preprocess(tmp_path, 80, 120, np.array([[10.0, 20.0]]))
         path = str(tmp_path / "tiles.npz")
@@ -379,6 +395,24 @@ class TestPreprocessors:
         assert db.roi_masks is not None
         assert db.roi_masks[0, 20, 5] == 1    # inside ROI
         assert db.roi_masks[0, 20, 50] == 0   # outside ROI
+
+    def test_roi_ground_truth_masked_symmetrically(self):
+        """Scoring masked predictions against UNmasked head counts would
+        bias MAE upward by the out-of-ROI mass — the truth must follow
+        the same ROI convention (review r3)."""
+        import dataclasses
+        db = synthetic_crowd_database(2, height=32, width=32, max_heads=20,
+                                      sigma=2.0, seed=3)
+        rois = np.zeros((2, 32, 32), np.uint8)
+        rois[:, :, :16] = 1  # left half only
+        masked = dataclasses.replace(db, roi_masks=rois)
+        got = masked.roi_head_counts()
+        want = (db.density_maps * rois).sum(axis=(1, 2))
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+        assert (got < db.head_counts).all()  # out-of-ROI mass excluded
+        # no masks → untouched head counts
+        np.testing.assert_array_equal(db.roi_head_counts(),
+                                      db.head_counts)
 
     def test_polygon_roi_mask_rasterization(self):
         from srgan_tpu.data.crowd import polygon_roi_mask
@@ -578,6 +612,23 @@ class TestCrowdExperiment:
         exp.state = init_train_state(exp.settings, d, g, dnn)
         exp.prepare_mesh()
         with pytest.raises(ValueError, match="scale-covariant"):
+            exp.prepare_train_step()
+
+    def test_rescale_oversized_factor_fails_fast(self, tmp_path):
+        """A factor whose window exceeds the images must fail at
+        prepare_train_step with guidance, not mid-epoch in the host
+        sampler (review r3)."""
+        from srgan_tpu.apps.crowd import CrowdExperiment
+        from srgan_tpu.train import init_train_state
+
+        exp = CrowdExperiment(self._settings(
+            tmp_path, crowd_rescale_factors=(4.0,)))  # 128 > 80x96 images
+        exp.dataset_setup()
+        models, d, g, dnn = exp.model_setup()
+        exp.models = models
+        exp.state = init_train_state(exp.settings, d, g, dnn)
+        exp.prepare_mesh()
+        with pytest.raises(ValueError, match="smallest image dimension"):
             exp.prepare_train_step()
 
     def test_rescale_sampler_bounds_windows(self, tmp_path):

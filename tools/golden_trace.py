@@ -61,22 +61,6 @@ def run_trace(steps: int, seed: int, hidden_size: int,
                             hidden_size=hidden_size, seed=seed,
                             compute_dtype="float32")
         experiment = CoefficientExperiment(settings)
-        experiment.dataset_setup()
-        models, d_params, g_params, dnn_params = experiment.model_setup()
-        state = init_train_state(settings, d_params, g_params, dnn_params)
-        step_fn = jax.jit(make_gan_train_step(
-            settings, models,
-            labeled_loss_fn=experiment.labeled_loss_fn()))
-        labeled, unlabeled = experiment.labeled_dataset, \
-            experiment.unlabeled_dataset
-        rng = np.random.default_rng(settings.seed)
-
-        def next_batch():
-            idx = rng.integers(0, len(labeled), settings.batch_size)
-            uidx = rng.integers(0, len(unlabeled), settings.batch_size)
-            return (jnp.asarray(labeled.examples[idx]),
-                    jnp.asarray(labeled.labels[idx]),
-                    jnp.asarray(unlabeled.examples[uidx]))
     elif app == "age":
         # DCGAN path: ConvTranspose generator + conv regressor — pins the
         # transposed-conv numerics the other traces don't touch
@@ -91,22 +75,6 @@ def run_trace(steps: int, seed: int, hidden_size: int,
                             latent_dimension=8, seed=seed,
                             compute_dtype="float32")
         experiment = AgeExperiment(settings)
-        experiment.dataset_setup()
-        models, d_params, g_params, dnn_params = experiment.model_setup()
-        state = init_train_state(settings, d_params, g_params, dnn_params)
-        step_fn = jax.jit(make_gan_train_step(
-            settings, models,
-            labeled_loss_fn=experiment.labeled_loss_fn()))
-        labeled, unlabeled = experiment.labeled_dataset, \
-            experiment.unlabeled_dataset
-        rng = np.random.default_rng(settings.seed)
-
-        def next_batch():
-            idx = rng.integers(0, len(labeled), settings.batch_size)
-            uidx = rng.integers(0, len(unlabeled), settings.batch_size)
-            return (jnp.asarray(labeled.examples[idx]),
-                    jnp.asarray(labeled.labels[idx]),
-                    jnp.asarray(unlabeled.examples[uidx]))
     elif app == "crowd":
         from srgan_tpu.apps.crowd import CrowdExperiment
 
@@ -141,6 +109,27 @@ def run_trace(steps: int, seed: int, hidden_size: int,
                     jnp.asarray(upatches))
     else:
         raise ValueError(f"unknown app {app!r}; choose coefficient|age|crowd")
+
+    if app in ("coefficient", "age"):
+        # Shared ArrayDataset batch draw (index sampling WITH replacement,
+        # host RNG) — one definition so the two traces can never diverge
+        # in batch-draw convention.
+        experiment.dataset_setup()
+        models, d_params, g_params, dnn_params = experiment.model_setup()
+        state = init_train_state(settings, d_params, g_params, dnn_params)
+        step_fn = jax.jit(make_gan_train_step(
+            settings, models,
+            labeled_loss_fn=experiment.labeled_loss_fn()))
+        labeled, unlabeled = experiment.labeled_dataset, \
+            experiment.unlabeled_dataset
+        rng = np.random.default_rng(settings.seed)
+
+        def next_batch():
+            idx = rng.integers(0, len(labeled), settings.batch_size)
+            uidx = rng.integers(0, len(unlabeled), settings.batch_size)
+            return (jnp.asarray(labeled.examples[idx]),
+                    jnp.asarray(labeled.labels[idx]),
+                    jnp.asarray(unlabeled.examples[uidx]))
 
     keys = KeySequence(settings.seed, "train")
     trace = []
