@@ -76,7 +76,7 @@ def preprocess_all(raw_root: str, out_root: str, mode: str,
 
 
 def run_arm(db_path: str, steps: int, seed: int, batch: int,
-            rescale: tuple = ()) -> dict:
+            rescale: tuple = (), ul: float = 1.0) -> dict:
     from srgan_tpu.apps.crowd import CrowdExperiment
     from srgan_tpu.settings import Settings
 
@@ -91,6 +91,7 @@ def run_arm(db_path: str, steps: int, seed: int, batch: int,
         # the run)
         validation_step_period=max(1, steps // 2),
         crowd_database_path=db_path, seed=seed,
+        unlabeled_loss_multiplier=ul,
         crowd_rescale_factors=tuple(rescale))
     exp = CrowdExperiment(settings)
     exp.train()
@@ -110,6 +111,9 @@ def main() -> None:
     parser.add_argument("--work_dir", default="/tmp/srgan_ab_data")
     parser.add_argument("--arms", nargs="+",
                         default=["resize", "tiles", "tiles_rescale"])
+    parser.add_argument("--ul", type=float, default=1.0,
+                        help="unlabeled_loss_multiplier (0.1 is the "
+                             "measured win-regime value, BASELINE.md)")
     args = parser.parse_args()
 
     import jax
@@ -138,7 +142,8 @@ def main() -> None:
         rescale = (0.75, 1.0, 1.25) if arm.endswith("rescale") else ()
         maes = []
         for seed in args.seeds:
-            r = run_arm(dbs[mode], args.steps, seed, args.batch, rescale)
+            r = run_arm(dbs[mode], args.steps, seed, args.batch, rescale,
+                        ul=args.ul)
             print(json.dumps({"arm": arm, "seed": seed, **r}), flush=True)
             maes.append(r)
         summary[arm] = {
