@@ -37,6 +37,12 @@ BATCH = 120  # v5e sweep: 591 @32, 652 @64, 757 @96, ~794 @112, ~798 @120, ~798 
 PATCH = 224  # batch 128 exceeds the remote-compile window; 124 gains nothing
 WARMUP_STEPS = 3
 TIMED_STEPS = 20
+# Default steps per dispatch (Settings.steps_per_dispatch). Measured on
+# the v5e (BASELINE.md "dispatch chunking"): unrolled K=2 is flat vs K=1
+# (801.6 vs 804.4 img/s) and a lax.scan chunk is 6.2× SLOWER — the ~6%
+# device-vs-end-to-end gap is not dispatch-count-bound, so the default
+# stays 1 (use --steps_per_dispatch to re-measure).
+DISPATCH_STEPS = 1
 
 
 def main(argv=None) -> None:
@@ -49,6 +55,11 @@ def main(argv=None) -> None:
     # The driver's contract (`python bench.py`, one JSON line) is the
     # default path, unchanged.
     parser.add_argument("--host_pipeline", action="store_true")
+    # Steps per device dispatch (Settings.steps_per_dispatch): K>1 runs
+    # K fused (sample + train) steps as ONE jitted lax.scan program,
+    # amortizing the per-step host cost (numpy draws + dispatches over
+    # the remote tunnel). HBM path only.
+    parser.add_argument("--steps_per_dispatch", type=int, default=None)
     args = parser.parse_args(argv)
 
     import jax
@@ -62,6 +73,11 @@ def main(argv=None) -> None:
     from srgan_tpu.apps.crowd import CrowdExperiment
     from srgan_tpu.settings import Settings
 
+    dispatch_steps = (args.steps_per_dispatch
+                      if args.steps_per_dispatch is not None
+                      else DISPATCH_STEPS)
+    if args.host_pipeline:
+        dispatch_steps = 1  # host tier streams one batch per step
     settings = Settings(
         trial_name="bench", logs_directory="/tmp/srgan_tpu_bench",
         batch_size=BATCH, image_patch_size=PATCH,
@@ -72,6 +88,7 @@ def main(argv=None) -> None:
         steps_to_run=0, seed=0,
         compute_dtype="bfloat16",
         crowd_host_pipeline=args.host_pipeline,
+        steps_per_dispatch=dispatch_steps,
     )
     exp = CrowdExperiment(settings)
     exp.dataset_setup()
@@ -100,6 +117,23 @@ def main(argv=None) -> None:
             exp.state, metrics = exp._train_step(
                 exp.state, patches, density, upatches, key)
             return metrics
+    elif dispatch_steps > 1:
+        # Chunked production path: K fused (sample + train) steps per
+        # dispatch through the one scanned jit (apps/crowd.py
+        # _prepare_train_chunk) — same data/key streams as per-step.
+        arg_stream = exp._patch_args_stream()
+        chain = {"key": None}
+
+        def one_step(key):
+            if chain["key"] is None:
+                chain["key"] = key
+            stacked = [np.stack(col) for col in zip(
+                *(next(arg_stream) for _ in range(dispatch_steps)))]
+            exp.state, chain["key"], metrics = exp._train_chunk(
+                exp.state, chain["key"], data["labeled_images"],
+                data["labeled_density"], data["unlabeled_images"],
+                *stacked)
+            return metrics
     else:
         def one_step(key):
             idx, offs, flips, sidx = exp._random_patch_args(
@@ -115,22 +149,33 @@ def main(argv=None) -> None:
             return metrics
 
     import jax.random as jrandom
+
+    def sync(metrics):
+        # device_get is the reliable full sync (block_until_ready
+        # returns early through the remote-TPU tunnel on this machine).
+        return float(np.asarray(
+            jax.device_get(metrics["d_total_loss"])).ravel()[-1])
+
+    # Dispatch counts in units of one_step calls (each covers
+    # dispatch_steps train steps); keep ≥ the per-step totals.
+    warmup_dispatches = -(-WARMUP_STEPS // dispatch_steps)
+    timed_dispatches = -(-TIMED_STEPS // dispatch_steps)
+    timed_steps = timed_dispatches * dispatch_steps
+
     key = jrandom.key(0)
-    for _ in range(WARMUP_STEPS):
+    for _ in range(warmup_dispatches):
         key, sub = jrandom.split(key)
         metrics = one_step(sub)
-    # device_get of a scalar is the reliable full sync (block_until_ready
-    # returns early through the remote-TPU tunnel on this machine).
-    float(jax.device_get(metrics["d_total_loss"]))
+    sync(metrics)
 
     start = time.perf_counter()
-    for _ in range(TIMED_STEPS):
+    for _ in range(timed_dispatches):
         key, sub = jrandom.split(key)
         metrics = one_step(sub)
-    float(jax.device_get(metrics["d_total_loss"]))
+    sync(metrics)
     elapsed = time.perf_counter() - start
 
-    images_per_sec = BATCH * TIMED_STEPS / elapsed
+    images_per_sec = BATCH * timed_steps / elapsed
     metric = "crowd_srgan_images_per_sec_per_chip"
     if args.host_pipeline:
         metric += "_host_pipeline"

@@ -475,6 +475,74 @@ class CrowdExperiment(Experiment):
         # Per-(image size, model) device-side grid-eval programs, built
         # lazily (validation vs test splits may differ in size).
         self._grid_count_fns = {}
+        self._train_chunk = None
+        if self.settings.steps_per_dispatch > 1:
+            self._prepare_train_chunk(sample_fn)
+
+    def _prepare_train_chunk(self, sample_fn) -> None:
+        """K-step dispatch chunk (``Settings.steps_per_dispatch``): ONE
+        jitted straight-line program of K fused (Pallas sample + train)
+        steps.
+
+        Amortizes the per-step host cost (numpy arg draws + two jit
+        dispatches + eager key splits) over K steps. Measured FLAT on this
+        host at the flagship config (801.6 img/s at K=2 vs 804.4 at K=1 —
+        the device-vs-end-to-end gap is not dispatch-count-bound,
+        docs/design.md §7), so the feature ships opt-in for hosts with
+        real per-dispatch latency. The body advances the SAME key chain
+        as ``KeySequence.next()`` and consumes
+        the SAME host patch-arg stream in the same order, so chunked
+        training sees exactly the data and keys the per-step loop would —
+        a dispatch optimization, not a semantics change (numerics agree to
+        XLA fusion tolerance; the scanned program may reassociate
+        reductions, tests/test_chunked.py).
+        """
+        settings = self.settings
+        if settings.crowd_host_pipeline:
+            raise ValueError(
+                "steps_per_dispatch > 1 requires the HBM-resident input "
+                "path (crowd_host_pipeline streams host batches one step "
+                "at a time)")
+        if settings.dnn_only:
+            raise ValueError(
+                "steps_per_dispatch > 1 supports the fused GAN step only; "
+                "dnn_only trials dispatch per step")
+        raw_step = self._raw_step_fn
+        num_steps = settings.steps_per_dispatch
+
+        def chunk_fn(state, seq_key, labeled_images, labeled_density,
+                     unlabeled_images, *stacked):
+            # UNROLLED straight-line body, deliberately not lax.scan: the
+            # while-loop form degraded the compiled step ~6× on v5e (873
+            # vs 140 ms/step measured at the flagship config — XLA's
+            # loop-body scheduling, docs/design.md §7). Compile time
+            # scales ~K×, which is why K must stay small (settings.py).
+            per_step_metrics = []
+            for i in range(num_steps):
+                # Identical chain to KeySequence.next(): split → (next, sub)
+                seq_key, sub = jax.random.split(seq_key)
+                patches, labels, upatches = sample_fn(
+                    labeled_images, labeled_density, unlabeled_images,
+                    *(s[i] for s in stacked))
+                state, step_metrics = raw_step(state, patches, labels,
+                                               upatches, sub)
+                per_step_metrics.append(step_metrics)
+            stacked_metrics = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *per_step_metrics)
+            return state, seq_key, stacked_metrics
+
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        repl = pmesh.replicated_sharding(self.mesh)
+        db = (pmesh.batch_sharding(self.mesh) if self._shard_dataset
+              else repl)
+        # Stacked per-step args [K, batch, ...]: batch axis (1) sharded.
+        st = NamedSharding(self.mesh, PartitionSpec(None, "data"))
+        self._train_chunk = jax.jit(
+            chunk_fn,
+            in_shardings=(repl, repl, db, db, db) + (st,) * 8,
+            out_shardings=repl,
+            donate_argnums=(0,))
 
     def _random_patch_args(self, rng: np.random.Generator, n_images,
                            image_hw: Tuple[int, int], batch: int):
@@ -501,18 +569,21 @@ class CrowdExperiment(Experiment):
         flips = rng.integers(0, 2, batch).astype(np.int32)
         return idx, offs, flips, sidx
 
-    def epoch_batch_iterators(self):
-        if self.settings.crowd_host_pipeline:
-            yield from self._host_epoch_iterators()
-            return
+    def _patch_args_stream(self):
+        """Endless per-step host RNG draws: one 8-tuple of (labeled +
+        unlabeled) ``(idx, offs, flips, sidx)`` arrays per train step.
+
+        ONE stream shared by the per-step and chunked loops — a K-step
+        chunk consumes exactly the draws K sequential steps would, in
+        the same order, so ``steps_per_dispatch`` never changes the data
+        the model sees (tests/test_chunked.py).
+        """
         settings = self.settings
         rng = np.random.default_rng(
             [settings.seed, 1, self._start_step])
-        data = self._device_data
         batch = settings.batch_size
         hw = self.labeled_db.image_size
         uhw = self.unlabeled_db.image_size
-        steps = self.steps_per_epoch()
 
         # Index bounds: global (replicated DB) or per-shard local
         # (sharded DB) — set by _upload_databases. Sharded: per-position
@@ -524,19 +595,136 @@ class CrowdExperiment(Experiment):
             n_lab = np.repeat(self._labeled_local_counts, share)
             n_unl = np.repeat(self._unlabeled_local_counts, share)
 
+        while True:
+            yield (self._random_patch_args(rng, n_lab, hw, batch)
+                   + self._random_patch_args(rng, n_unl, uhw, batch))
+
+    def epoch_batch_iterators(self):
+        if self.settings.crowd_host_pipeline:
+            yield from self._host_epoch_iterators()
+            return
+        data = self._device_data
+        args = self._patch_args_stream()
+        steps = self.steps_per_epoch()
+
         def one_epoch():
             for _ in range(steps):
-                idx, offs, flips, sidx = self._random_patch_args(
-                    rng, n_lab, hw, batch)
-                uidx, uoffs, uflips, usidx = self._random_patch_args(
-                    rng, n_unl, uhw, batch)
                 yield self._sample_batch(
                     data["labeled_images"], data["labeled_density"],
-                    data["unlabeled_images"], idx, offs, flips, sidx,
-                    uidx, uoffs, uflips, usidx)
+                    data["unlabeled_images"], *next(args))
 
         while True:
             yield one_epoch()
+
+    # ------------------------------------------------- chunked dispatch loop
+    def training_loop(self) -> None:
+        if self.settings.steps_per_dispatch > 1:
+            self._chunked_training_loop()
+        else:
+            super().training_loop()
+
+    def _chunked_training_loop(self) -> None:
+        """The per-step loop's semantics at K-steps-per-dispatch
+        granularity (``Settings.steps_per_dispatch``): summaries, saves,
+        validation and profiling all land on the same global steps as the
+        per-step loop — their periods are required to be multiples of K so
+        every period boundary is a chunk boundary."""
+        import time
+
+        from srgan_tpu.utils.seeding import KeySequence
+
+        settings = self.settings
+        K = settings.steps_per_dispatch
+        steps_per_epoch = self.steps_per_epoch()
+        if settings.epochs_to_run is not None:
+            total_steps = settings.epochs_to_run * steps_per_epoch
+        else:
+            total_steps = settings.steps_to_run
+
+        def check(name, value):
+            if value and value % K != 0:
+                raise ValueError(
+                    f"{name}={value} must be a multiple of "
+                    f"steps_per_dispatch={K} (period boundaries must be "
+                    f"chunk boundaries)")
+
+        check("total training steps", total_steps)
+        check("summary_step_period", settings.summary_step_period)
+        check("save_step_period", settings.save_step_period or 0)
+        if settings.validation_step_period:
+            check("validation_step_period", settings.validation_step_period)
+        else:
+            check("steps_per_epoch (per-epoch validation cadence; set "
+                  "validation_step_period to decouple)", steps_per_epoch)
+        if self._start_step % K:
+            raise ValueError(
+                f"resumed step {self._start_step} is not a multiple of "
+                f"steps_per_dispatch={K}; resume with steps_per_dispatch=1 "
+                f"or a divisor of the checkpoint step")
+
+        keys = KeySequence(settings.seed, "train", start=self._start_step)
+        args = self._patch_args_stream()
+        data = self._device_data
+        step = int(jax.device_get(self.state.step))
+        profile_range = settings.profile_step_range
+        profiling = False
+        last_summary_time = None
+        last_summary_step = step
+        while step < total_steps:
+            if (profile_range and not profiling
+                    and step <= profile_range[0] < step + K):
+                jax.profiler.start_trace(
+                    os.path.join(self.trial_directory, "profile"))
+                profiling = True
+            stacked = [np.stack(column)
+                       for column in zip(*(next(args) for _ in range(K)))]
+            self.state, chain, stacked_metrics = self._train_chunk(
+                self.state, keys.take(), data["labeled_images"],
+                data["labeled_density"], data["unlabeled_images"], *stacked)
+            keys.restore(chain)
+            if profiling and step + K >= profile_range[1]:
+                # Sync so the trace covers the dispatched chunk.
+                float(jax.device_get(stacked_metrics["d_total_loss"][-1]))
+                jax.profiler.stop_trace()
+                profiling = False
+            self.gan_summary_writer.step = step
+            self.dnn_summary_writer.step = step
+            if self.gan_summary_writer.is_summary_step():
+                # The summary step is the chunk's FIRST step (periods are
+                # multiples of K), so report that step's metrics — exactly
+                # what the per-step loop writes.
+                self.write_step_summaries(
+                    {k: v[0] for k, v in stacked_metrics.items()})
+                now = time.perf_counter()
+                if last_summary_time is not None \
+                        and step > last_summary_step:
+                    steps_per_sec = ((step - last_summary_step)
+                                     / (now - last_summary_time))
+                    self.gan_summary_writer.add_scalar(
+                        "throughput/steps_per_second", steps_per_sec)
+                    self.gan_summary_writer.add_scalar(
+                        "throughput/examples_per_second",
+                        steps_per_sec * settings.batch_size)
+                last_summary_time = now
+                last_summary_step = step
+            step += K
+            if (settings.save_step_period
+                    and step % settings.save_step_period == 0):
+                self.save_models()
+            if settings.validation_step_period:
+                if step % settings.validation_step_period == 0:
+                    self.validation_summaries(
+                        epoch=step // steps_per_epoch, step=step)
+            elif step % steps_per_epoch == 0:
+                self.validation_summaries(
+                    epoch=step // steps_per_epoch, step=step)
+        if profiling:  # run ended inside the requested profile window
+            jax.profiler.stop_trace()
+        if (not settings.validation_step_period
+                and step % steps_per_epoch != 0):
+            # The per-step loop also validates after a final partial epoch.
+            self.validation_summaries(
+                epoch=step // steps_per_epoch + 1, step=step)
 
     def _host_epoch_iterators(self):
         """Native C++ pipeline: threaded prefetchers assemble image

@@ -116,6 +116,9 @@ class Experiment:
                 latent_shape=self.latent_shape())
             self._train_step = pmesh.jit_data_parallel(
                 step_fn, self.mesh, num_batch_args=3)
+        # Unjitted step: building block for multi-step dispatch chunks
+        # (apps that support Settings.steps_per_dispatch scan over it).
+        self._raw_step_fn = step_fn
         repl = pmesh.replicated_sharding(self.mesh)
         batch = pmesh.batch_sharding(self.mesh)
         self._eval_d = jax.jit(
@@ -217,6 +220,11 @@ class Experiment:
         """Epochs over the labeled loader zipped with a cycling unlabeled
         loader; GAN + DNN updates fused in one jitted step (SURVEY.md §3.2)."""
         settings = self.settings
+        if settings.steps_per_dispatch > 1:
+            raise ValueError(
+                "steps_per_dispatch > 1 is only supported by apps with an "
+                "on-device input pipeline (crowd HBM-resident path); this "
+                "app's loop dispatches one step per host batch")
         keys = KeySequence(settings.seed, "train", start=self._start_step)
 
         step = int(jax.device_get(self.state.step))

@@ -48,6 +48,21 @@ class Settings:
     debug_nans: bool = False
     # Reference trains G every `generator_training_step_period` D steps [M].
     generator_training_step_period: int = 1  # provisional
+    # Train steps per device dispatch: K>1 runs K fused (sample + step)
+    # iterations as ONE jitted straight-line (unrolled) program,
+    # amortizing host dispatch latency. Measured FLAT on this machine's
+    # remote-tunnel setup (801.6 img/s at K=2 vs 804.4 at K=1 — the
+    # async pipeline already hides dispatch latency; docs/design.md §7),
+    # so it ships opt-in for hosts where dispatch latency is real.
+    # Compile time scales ~K× — keep K small (2–4); a lax.scan form was
+    # measured 6× SLOWER per step on v5e (while-loop scheduling,
+    # docs/design.md §7), hence the unroll. The per-step RNG
+    # streams (host patch args + the key chain) are IDENTICAL to K=1 —
+    # chunking is a dispatch optimization, not a semantics change;
+    # results match to XLA fusion tolerance (tests/test_chunked.py).
+    # Supported by the crowd HBM-resident path only; summary/validation/
+    # save periods and steps_to_run must be multiples of K.
+    steps_per_dispatch: int = 1
 
     # ------------------------------------------------------------ optimizers
     learning_rate: float = 1e-4

@@ -46,3 +46,13 @@ class KeySequence:
     def next(self) -> jax.Array:
         self._key, sub = jax.random.split(self._key)
         return sub
+
+    def take(self) -> jax.Array:
+        """Hand the chain key to a jitted program that advances it
+        on-device (the chunked train loop splits per scanned step exactly
+        as :meth:`next` would); pair with :meth:`restore`."""
+        return self._key
+
+    def restore(self, key: jax.Array) -> None:
+        """Resume the host-side chain from a key returned by the device."""
+        self._key = key
