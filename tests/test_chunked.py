@@ -132,6 +132,38 @@ class TestChunkedTraining:
         assert "d_total_loss" in tags       # chunk-start step summaries
         assert "validation/MAE" in tags     # validation_step_period=4 hit
 
+    def test_resume_roundtrip(self, tmp_path):
+        """Checkpoint + resume through the chunked loop: state restores,
+        the chunk-aligned start step passes the divisibility check, and
+        training continues to the new total."""
+        from srgan_tpu.apps.crowd import CrowdExperiment
+
+        first = CrowdExperiment(_settings(tmp_path, steps_per_dispatch=2,
+                                          steps_to_run=2))
+        first.train()
+        resumed = CrowdExperiment(_settings(
+            tmp_path, steps_per_dispatch=2, steps_to_run=6,
+            load_model_path=first.trial_directory))
+        state = resumed.train()
+        assert int(jax.device_get(state.step)) == 6
+        assert np.isfinite(resumed.evaluate()["MAE"])
+
+    def test_resume_misaligned_start_rejected(self, tmp_path):
+        """A checkpoint at a step that is not a multiple of K cannot
+        silently shift the period grid — it must fail fast."""
+        from srgan_tpu.apps.crowd import CrowdExperiment
+
+        first = CrowdExperiment(_settings(tmp_path, steps_to_run=2,
+                                          summary_step_period=2,
+                                          validation_step_period=2))
+        first.train()
+        resumed = CrowdExperiment(_settings(
+            tmp_path, steps_per_dispatch=4, steps_to_run=8,
+            summary_step_period=4, validation_step_period=4,
+            load_model_path=first.trial_directory))
+        with pytest.raises(ValueError, match="resumed step"):
+            resumed.train()
+
     def test_divisibility_errors(self, tmp_path):
         from srgan_tpu.apps.crowd import CrowdExperiment
 
