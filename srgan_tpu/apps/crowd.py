@@ -154,10 +154,11 @@ class CrowdExperiment(Experiment):
 
         The HBM-resident tier must leave room for model/optimizer state
         and activations; when the training splits approach the
-        per-device budget, point at the two designed escape hatches
-        (``crowd_shard_dataset`` scales capacity with mesh size;
-        ``crowd_host_pipeline`` streams from the host via the native C++
-        prefetcher).
+        per-device budget, point at the designed escape hatches in cost
+        order (``crowd_label_dtype='bfloat16'`` halves the label maps at
+        full speed; ``crowd_shard_dataset`` scales capacity with mesh
+        size; ``crowd_host_pipeline`` streams from the host via the
+        native C++ prefetcher).
         """
         # Sizes computed arithmetically — _stacked_labels() would
         # materialize a full [N,H,W,2] host copy just to read .nbytes on
@@ -165,6 +166,8 @@ class CrowdExperiment(Experiment):
         label_bytes = self.labeled_db.density_maps.nbytes
         if self.uses_aux_target:
             label_bytes += self.labeled_db.aux_maps.nbytes
+        label_itemsize = np.dtype(self._label_dtype).itemsize
+        label_bytes = (label_bytes * label_itemsize) // 4  # stored f32
         train_arrays = [self.labeled_db.images.nbytes, label_bytes,
                         self.unlabeled_db.images.nbytes]
         if self._shard_dataset:
@@ -191,9 +194,21 @@ class CrowdExperiment(Experiment):
             warnings.warn(
                 f"crowd database needs {db_bytes / 1e9:.1f} GB of the "
                 f"{limit / 1e9:.1f} GB per-device HBM; consider "
-                f"crowd_shard_dataset=True (capacity scales with mesh "
-                f"size) or crowd_host_pipeline=True (native host "
-                f"streaming)", stacklevel=3)
+                f"crowd_label_dtype='bfloat16' (halves the label maps, "
+                f"full speed), crowd_shard_dataset=True (capacity scales "
+                f"with mesh size) or crowd_host_pipeline=True (native "
+                f"host streaming)", stacklevel=3)
+
+    @property
+    def _label_dtype(self):
+        """HBM dtype for the training label maps
+        (``Settings.crowd_label_dtype``): bf16 halves the largest
+        per-pixel HBM term; the Pallas patch kernel upcasts to f32."""
+        name = self.settings.crowd_label_dtype
+        if name not in ("float32", "bfloat16"):
+            raise ValueError(f"unknown crowd_label_dtype {name!r}; "
+                             f"choose float32 or bfloat16")
+        return jnp.float32 if name == "float32" else jnp.bfloat16
 
     def _upload_databases(self) -> None:
         """Place split arrays in device HBM once (float32; raw 0..255).
@@ -215,6 +230,11 @@ class CrowdExperiment(Experiment):
             "validation_images": put(self.validation_db.images),
         }
         if self.settings.crowd_host_pipeline:
+            if self.settings.crowd_label_dtype != "float32":
+                raise ValueError(
+                    "crowd_label_dtype only applies to the HBM-resident "
+                    "label maps; the host C++ tier streams f32 batches "
+                    "(set crowd_label_dtype='float32')")
             return
         self._check_hbm_budget()
         if self._shard_dataset:
@@ -245,9 +265,14 @@ class CrowdExperiment(Experiment):
         # With an aux training target the label tensor carries BOTH
         # maps ([..., 0] density for counts, [..., 1] aux target) so
         # one kernel pass extracts consistent patches of each.
+        labels = self._stacked_labels()
+        if self._label_dtype != jnp.float32:
+            # ml_dtypes gives numpy a real bfloat16; the Pallas patch
+            # kernel upcasts to f32 on the VPU during extraction.
+            labels = labels.astype(self._label_dtype)
         self._device_data.update({
             "labeled_images": put(self.labeled_db.images),
-            "labeled_density": put(self._stacked_labels()),
+            "labeled_density": put(labels),
             "unlabeled_images": put(self.unlabeled_db.images),
         })
 

@@ -156,6 +156,17 @@ class Settings:
     crowd_sigma: float = 8.0
     density_loss_multiplier: float = 1e0
     count_loss_multiplier: float = 1e0
+    # HBM dtype for the label maps (density [+ aux]) of the HBM-resident
+    # training splits. The f32 label maps are the LARGEST per-pixel term
+    # of the database (4 B/px vs 3 B/px for the u8 RGB images);
+    # 'bfloat16' halves them (~30% more images per device, more with aux
+    # maps). bf16 keeps f32's exponent range so the tiny Gaussian-tail
+    # densities never flush to zero (unlike f16); the ~0.4%-relative
+    # mantissa rounding is unbiased and cancels in the count integrals
+    # (patch mass preserved to <0.1%, tested). Patches are extracted to
+    # f32 regardless (the Pallas kernel upcasts on the VPU). HBM path
+    # only — the host C++ tier streams f32 from the host.
+    crowd_label_dtype: str = "float32"  # or "bfloat16"
     # synthetic fallback database (tests/bench without real UCF-QNRF):
     crowd_synthetic_max_heads: int = 64
     # Host-side C++ input pipeline (native/srgan_io.cc) instead of the

@@ -1246,3 +1246,80 @@ def test_crowd_prepare_for_evaluation_restores(tmp_path):
     assert int(jax.device_get(state.step)) == 3
     got = fresh.evaluate()
     assert got["MAE"] == pytest.approx(want["MAE"], rel=1e-5)
+
+
+class TestLabelDtype:
+    """Settings.crowd_label_dtype: bf16 HBM label maps (capacity lever —
+    the f32 density maps are the largest per-pixel HBM term; bf16 halves
+    them while the Pallas patch kernel upcasts to f32 on extraction)."""
+
+    def _settings(self, tmp_path, **kw):
+        base = dict(trial_name="labeldtype",
+                    logs_directory=str(tmp_path / "logs"),
+                    batch_size=8, steps_to_run=3, summary_step_period=2,
+                    labeled_dataset_size=6, unlabeled_dataset_size=8,
+                    validation_dataset_size=3,
+                    crowd_image_height=80, crowd_image_width=96,
+                    image_patch_size=32, crowd_sigma=3.0,
+                    crowd_synthetic_max_heads=12,
+                    model_base_width=8, latent_dimension=16,
+                    learning_rate=1e-3, seed=0)
+        base.update(kw)
+        return Settings(**base)
+
+    def test_bf16_upload_trains_end_to_end(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        from srgan_tpu.apps.crowd import CrowdExperiment
+
+        exp = CrowdExperiment(self._settings(
+            tmp_path, crowd_label_dtype="bfloat16"))
+        state = exp.train()
+        assert exp._device_data["labeled_density"].dtype == jnp.bfloat16
+        assert int(jax.device_get(state.step)) == 3
+        result = exp.evaluate()
+        for name in ("MAE", "RMSE", "NVE", "NAE"):
+            assert np.isfinite(result[name]), name
+
+    def test_bf16_patch_mass_within_tenth_percent(self):
+        """The per-element bf16 rounding (~0.4% relative, unbiased) must
+        cancel in the patch integrals the count targets are built from."""
+        import jax.numpy as jnp
+        from srgan_tpu.ops.patches import extract_patches
+
+        rng = np.random.default_rng(3)
+        # density-like magnitudes: Gaussian-kernel peaks are O(1e-2)
+        dens = (rng.random((4, 80, 96, 1), np.float32) * 2e-2)
+        offs = np.stack([rng.integers(0, 80 - 32, 8),
+                         rng.integers(0, 96 - 32, 8)], axis=1)
+        idx = rng.integers(0, 4, 8).astype(np.int32)
+        flips = np.zeros(8, np.int32)
+        f32 = extract_patches(jnp.asarray(dens), jnp.asarray(offs),
+                              jnp.asarray(flips), patch_size=32,
+                              indices=jnp.asarray(idx))
+        bf16 = extract_patches(jnp.asarray(dens).astype(jnp.bfloat16),
+                               jnp.asarray(offs), jnp.asarray(flips),
+                               patch_size=32, indices=jnp.asarray(idx))
+        assert f32.dtype == jnp.float32 and bf16.dtype == jnp.float32
+        mass_f32 = np.asarray(f32).sum(axis=(1, 2, 3))
+        mass_bf16 = np.asarray(bf16).sum(axis=(1, 2, 3))
+        np.testing.assert_allclose(mass_bf16, mass_f32, rtol=1e-3)
+
+    def test_host_pipeline_rejects_bf16(self, tmp_path):
+        from srgan_tpu.apps.crowd import CrowdExperiment
+
+        exp = CrowdExperiment(self._settings(
+            tmp_path, crowd_host_pipeline=True,
+            crowd_label_dtype="bfloat16"))
+        exp.dataset_setup()
+        exp.prepare_mesh()
+        with pytest.raises(ValueError, match="crowd_label_dtype"):
+            exp._upload_databases()
+
+    def test_unknown_label_dtype_rejected(self, tmp_path):
+        from srgan_tpu.apps.crowd import CrowdExperiment
+
+        exp = CrowdExperiment(self._settings(
+            tmp_path, crowd_label_dtype="float16"))
+        with pytest.raises(ValueError, match="crowd_label_dtype"):
+            exp._label_dtype
