@@ -1323,3 +1323,22 @@ class TestLabelDtype:
             tmp_path, crowd_label_dtype="float16"))
         with pytest.raises(ValueError, match="crowd_label_dtype"):
             exp._label_dtype
+
+    def test_bf16_with_sharded_dataset(self, tmp_path):
+        """bf16 labels compose with crowd_shard_dataset: the cyclic pad
+        (np.resize on an ml_dtypes array) and the shard_map sampler must
+        handle the 2-byte dtype end-to-end."""
+        import jax
+        import jax.numpy as jnp
+        from srgan_tpu.apps.crowd import CrowdExperiment
+
+        exp = CrowdExperiment(self._settings(
+            tmp_path, labeled_dataset_size=16, unlabeled_dataset_size=16,
+            crowd_image_height=64, crowd_image_width=64,
+            crowd_shard_dataset=True, crowd_label_dtype="bfloat16"))
+        state = exp.train()
+        dens = exp._device_data["labeled_density"]
+        assert dens.dtype == jnp.bfloat16
+        assert len(dens.addressable_shards) == 8
+        assert int(jax.device_get(state.step)) == 3
+        assert np.isfinite(exp.evaluate()["MAE"])
