@@ -163,11 +163,14 @@ class CrowdExperiment(Experiment):
         # Sizes computed arithmetically — _stacked_labels() would
         # materialize a full [N,H,W,2] host copy just to read .nbytes on
         # exactly the multi-GB path this warning serves.
-        label_bytes = self.labeled_db.density_maps.nbytes
-        if self.uses_aux_target:
-            label_bytes += self.labeled_db.aux_maps.nbytes
         label_itemsize = np.dtype(self._label_dtype).itemsize
-        label_bytes = (label_bytes * label_itemsize) // 4  # stored f32
+        # Scale each host array's nbytes by its own itemsize (the npz is
+        # not guaranteed f32) to the dtype actually uploaded.
+        dens = self.labeled_db.density_maps
+        label_bytes = (dens.nbytes // dens.itemsize) * label_itemsize
+        if self.uses_aux_target:
+            aux = self.labeled_db.aux_maps
+            label_bytes += (aux.nbytes // aux.itemsize) * label_itemsize
         train_arrays = [self.labeled_db.images.nbytes, label_bytes,
                         self.unlabeled_db.images.nbytes]
         if self._shard_dataset:
@@ -191,13 +194,19 @@ class CrowdExperiment(Experiment):
             return  # backend doesn't report capacity (e.g. CPU tests)
         if db_bytes > 0.6 * limit:
             import warnings
+            hatches = []
+            if self._label_dtype == jnp.float32:
+                hatches.append("crowd_label_dtype='bfloat16' (halves "
+                               "the label maps, full speed)")
+            if not self._shard_dataset:
+                hatches.append("crowd_shard_dataset=True (capacity "
+                               "scales with mesh size)")
+            hatches.append("crowd_host_pipeline=True (native host "
+                           "streaming)")
             warnings.warn(
                 f"crowd database needs {db_bytes / 1e9:.1f} GB of the "
                 f"{limit / 1e9:.1f} GB per-device HBM; consider "
-                f"crowd_label_dtype='bfloat16' (halves the label maps, "
-                f"full speed), crowd_shard_dataset=True (capacity scales "
-                f"with mesh size) or crowd_host_pipeline=True (native "
-                f"host streaming)", stacklevel=3)
+                + ", ".join(hatches), stacklevel=3)
 
     @property
     def _label_dtype(self):

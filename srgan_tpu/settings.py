@@ -159,8 +159,9 @@ class Settings:
     # HBM dtype for the label maps (density [+ aux]) of the HBM-resident
     # training splits. The f32 label maps are the LARGEST per-pixel term
     # of the database (4 B/px vs 3 B/px for the u8 RGB images);
-    # 'bfloat16' halves them (~30% more images per device, more with aux
-    # maps). bf16 keeps f32's exponent range so the tiny Gaussian-tail
+    # 'bfloat16' halves them: 7 B/px -> 5 B/px for the labeled split
+    # (1.4x more labeled images per device; 1.57x with an aux map).
+    # bf16 keeps f32's exponent range so the tiny Gaussian-tail
     # densities never flush to zero (unlike f16); the ~0.4%-relative
     # mantissa rounding is unbiased and cancels in the count integrals
     # (patch mass preserved to <0.1%, tested). Patches are extracted to

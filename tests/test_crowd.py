@@ -1332,8 +1332,10 @@ class TestLabelDtype:
         import jax.numpy as jnp
         from srgan_tpu.apps.crowd import CrowdExperiment
 
+        # 13 examples / 8 devices: NON-divisible, so the cyclic pad
+        # actually wraps (np.resize duplicates examples 0-2 in bf16).
         exp = CrowdExperiment(self._settings(
-            tmp_path, labeled_dataset_size=16, unlabeled_dataset_size=16,
+            tmp_path, labeled_dataset_size=13, unlabeled_dataset_size=13,
             crowd_image_height=64, crowd_image_width=64,
             crowd_shard_dataset=True, crowd_label_dtype="bfloat16"))
         state = exp.train()
