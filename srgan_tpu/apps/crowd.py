@@ -878,15 +878,18 @@ class CrowdExperiment(Experiment):
         return fn
 
     def predict_density_maps(self, use_dnn: Optional[bool] = None,
-                             db: Optional[CrowdDatabase] = None
-                             ) -> np.ndarray:
+                             db: Optional[CrowdDatabase] = None,
+                             limit: Optional[int] = None) -> np.ndarray:
         """Full predicted density maps ``[N, H/4, W/4]`` for a split
         (default: validation) — the overlap-averaged sliding-grid
         canvases the count metrics integrate, exposed for visualization
         / downstream use (reference users inspect density maps, not just
         counts). Same device-side pipeline as
-        :meth:`predict_image_counts`; ROI masks applied when present."""
-        return self._predict_grid(use_dnn, db, return_maps=True)
+        :meth:`predict_image_counts`; ROI masks applied when present.
+        ``limit`` evaluates only the first N examples (summary images
+        need a handful, not the whole split)."""
+        return self._predict_grid(use_dnn, db, return_maps=True,
+                                  limit=limit)
 
     def predict_image_counts(self, use_dnn: Optional[bool] = None,
                              db: Optional[CrowdDatabase] = None
@@ -899,7 +902,8 @@ class CrowdExperiment(Experiment):
 
     def _predict_grid(self, use_dnn: Optional[bool],
                       db: Optional[CrowdDatabase],
-                      return_maps: bool) -> np.ndarray:
+                      return_maps: bool,
+                      limit: Optional[int] = None) -> np.ndarray:
         use_dnn = self._resolve_use_dnn(use_dnn)
         use_cached_images = db is None or db is self.validation_db
         db = db if db is not None else self.validation_db
@@ -923,16 +927,16 @@ class CrowdExperiment(Experiment):
                                                    ).astype(np.float32)
         else:
             mask_ds = np.ones((len(db), 1, 1), np.float32)
-        out_shape = ((len(db), h // f, w // f) if return_maps
-                     else (len(db),))
+        n = len(db) if limit is None else min(limit, len(db))
+        out_shape = ((n, h // f, w // f) if return_maps else (n,))
         counts = np.zeros(out_shape, np.float32)
         # Static chunk size (one compiled program): mesh-multiple so the
         # 'data'-sharded id vector divides evenly; tail chunks pad by
         # repeating the last id and drop the padded outputs.
         d = self.mesh.size
         chunk = max(1, -(-self.EVAL_CHUNK_IMAGES // d)) * d
-        for start in range(0, len(db), chunk):
-            image_ids = np.arange(start, min(start + chunk, len(db)))
+        for start in range(0, n, chunk):
+            image_ids = np.arange(start, min(start + chunk, n))
             k = len(image_ids)
             if k < chunk:
                 image_ids = np.concatenate(
@@ -977,6 +981,46 @@ class CrowdExperiment(Experiment):
             result = self._count_metrics(self.validation_db, pred)
             for name, value in result.items():
                 writer.add_scalar(f"validation/{name}", value, step)
+            self._write_density_triptychs(writer, use_dnn, step)
+
+    @staticmethod
+    def _heat(v: np.ndarray) -> np.ndarray:
+        """'Hot'-ramp colormap for a [0, 1] map → [H, W, 3] (black → red
+        → yellow → white); dependency-free, good density contrast."""
+        return np.clip(np.stack([3 * v, 3 * v - 1, 3 * v - 2], axis=-1),
+                       0.0, 1.0)
+
+    def _write_density_triptychs(self, writer, use_dnn: bool,
+                                 step: int) -> None:
+        """(input | GT density | predicted density) image summaries for
+        the first K validation images — the standard crowd-counting
+        diagnostic (extension over the reference's G-sample grids;
+        SURVEY §5 metrics row [A][H]). Density panels share one
+        intensity scale so over/under-prediction is visible (counts
+        themselves are the validation scalars)."""
+        db = self.validation_db
+        k = min(self.settings.crowd_summary_image_count, len(db))
+        if k <= 0:
+            return
+        maps = self.predict_density_maps(use_dnn=use_dnn, limit=k)
+        f = DENSITY_DOWNSAMPLE
+        h, w = db.image_size
+        for i in range(k):
+            gt = db.density_maps[i].astype(np.float32)
+            if db.roi_masks is not None:
+                gt = gt * db.roi_masks[i]  # same convention as pred
+            # Sum-pool to density resolution: cell values stay counts,
+            # matching the predicted canvas semantics (both integrate to
+            # the head count).
+            gt_ds = gt.reshape(h // f, f, w // f, f).sum(axis=(1, 3))
+            pred_map = maps[i]
+            scale = float(max(gt_ds.max(), pred_map.max(), 1e-8))
+            up = lambda m: np.repeat(np.repeat(m, f, 0), f, 1)
+            panels = [db.images[i].astype(np.float32) / 255.0,
+                      self._heat(up(gt_ds) / scale),
+                      self._heat(up(pred_map) / scale)]
+            trip = np.concatenate(panels, axis=1)
+            writer.add_image(f"validation/density_{i}", trip, step)
 
     def evaluate(self, dataset: Optional[CrowdDatabase] = None,
                  use_dnn: Optional[bool] = None) -> Dict[str, float]:

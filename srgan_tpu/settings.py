@@ -168,6 +168,12 @@ class Settings:
     # f32 regardless (the Pallas kernel upcasts on the VPU). HBM path
     # only — the host C++ tier streams f32 from the host.
     crowd_label_dtype: str = "float32"  # or "bfloat16"
+    # Validation density-map image summaries: for the first K validation
+    # images, write an (input | GT density | predicted density) triptych
+    # to TensorBoard/PNG each validation pass (0 disables). The standard
+    # crowd-counting diagnostic; the reference only emits G-sample grids
+    # (SURVEY §5 metrics row [A][H] — this is an extension).
+    crowd_summary_image_count: int = 2
     # synthetic fallback database (tests/bench without real UCF-QNRF):
     crowd_synthetic_max_heads: int = 64
     # Host-side C++ input pipeline (native/srgan_io.cc) instead of the

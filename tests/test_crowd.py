@@ -1344,3 +1344,59 @@ class TestLabelDtype:
         assert len(dens.addressable_shards) == 8
         assert int(jax.device_get(state.step)) == 3
         assert np.isfinite(exp.evaluate()["MAE"])
+
+
+class TestDensitySummaries:
+    """Validation density triptychs (input | GT | prediction) and the
+    predict_density_maps limit plumbing."""
+
+    def _settings(self, tmp_path, **kw):
+        base = dict(trial_name="denssum",
+                    logs_directory=str(tmp_path / "logs"),
+                    batch_size=8, steps_to_run=3, summary_step_period=2,
+                    labeled_dataset_size=6, unlabeled_dataset_size=8,
+                    validation_dataset_size=3,
+                    crowd_image_height=80, crowd_image_width=96,
+                    image_patch_size=32, crowd_sigma=3.0,
+                    crowd_synthetic_max_heads=12,
+                    model_base_width=8, latent_dimension=16,
+                    learning_rate=1e-3, seed=0)
+        base.update(kw)
+        return Settings(**base)
+
+    def test_limit_prefix_of_full_maps(self, tmp_path):
+        from srgan_tpu.apps.crowd import CrowdExperiment
+
+        exp = CrowdExperiment(self._settings(tmp_path))
+        exp.train()
+        full = exp.predict_density_maps()
+        one = exp.predict_density_maps(limit=1)
+        assert full.shape == (3, 80 // 4, 96 // 4)
+        assert one.shape == (1, 80 // 4, 96 // 4)
+        np.testing.assert_allclose(one[0], full[0], rtol=1e-5)
+
+    def test_triptych_pngs_written(self, tmp_path):
+        import glob
+        from srgan_tpu.apps.crowd import CrowdExperiment
+
+        exp = CrowdExperiment(self._settings(tmp_path))
+        exp.train()
+        for sub in ("GAN", "DNN"):
+            pngs = glob.glob(os.path.join(
+                exp.trial_directory, sub, "images",
+                "validation_density_*.png"))
+            assert len(pngs) >= 2, (sub, pngs)
+        # triptych geometry: 3 panels side by side
+        img = np.asarray(Image.open(pngs[0]))
+        assert img.shape == (80, 3 * 96, 3)
+
+    def test_disabled_writes_none(self, tmp_path):
+        import glob
+        from srgan_tpu.apps.crowd import CrowdExperiment
+
+        exp = CrowdExperiment(self._settings(
+            tmp_path, crowd_summary_image_count=0))
+        exp.train()
+        pngs = glob.glob(os.path.join(
+            exp.trial_directory, "*", "images", "validation_density_*"))
+        assert pngs == []
