@@ -194,6 +194,16 @@ class Experiment:
         previous_debug_nans = jax.config.jax_debug_nans
         if settings.debug_nans:
             jax.config.update("jax_debug_nans", True)
+        if settings.compilation_cache_dir:
+            # Persistent XLA compile cache: repeat trials of a config
+            # skip the (minutes-long on remote TPU) kernel compiles.
+            # Process-global and sticky by design — the cache is keyed
+            # by program, so later trials in this process still benefit.
+            jax.config.update("jax_compilation_cache_dir",
+                              os.path.expanduser(
+                                  settings.compilation_cache_dir))
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
         try:
             self.trial_directory = make_trial_directory(settings)
             self.prepare_summary_writers()

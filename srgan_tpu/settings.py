@@ -46,6 +46,11 @@ class Settings:
     profile_step_range: Optional[Tuple[int, int]] = None
     # Debug config (SURVEY.md §5): make jit error on NaN production.
     debug_nans: bool = False
+    # Persistent XLA compile-cache directory (applied at train() when
+    # set): repeat trials of a config skip kernel recompiles — minutes
+    # per config on a remote-TPU setup. Host-specific, so not part of
+    # any preset; e.g. "~/.cache/srgan_tpu/xla".
+    compilation_cache_dir: Optional[str] = None
     # Reference trains G every `generator_training_step_period` D steps [M].
     generator_training_step_period: int = 1  # provisional
     # Train steps per device dispatch: K>1 runs K fused (sample + step)

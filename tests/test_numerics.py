@@ -64,3 +64,19 @@ def test_debug_nans_setting_plumbs_through(tmp_path):
     # the flag is active during training but restored afterwards (no
     # process-wide leak into later experiments/benchmarks)
     assert not jax.config.jax_debug_nans
+
+
+def test_compilation_cache_dir_setting_applied(tmp_path):
+    cache = str(tmp_path / "xla_cache")
+    settings = Settings(trial_name="cache",
+                        compilation_cache_dir=cache,
+                        logs_directory=str(tmp_path / "logs"),
+                        batch_size=8, hidden_size=8, steps_to_run=1,
+                        labeled_dataset_size=16,
+                        unlabeled_dataset_size=16,
+                        validation_dataset_size=8)
+    exp = CoefficientExperiment(settings)
+    exp.train()
+    # Sticky by design (process-global cache config; later trials in the
+    # process keep benefiting).
+    assert jax.config.jax_compilation_cache_dir == cache
