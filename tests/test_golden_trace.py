@@ -20,6 +20,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     "coefficient_h10_s0.json",  # MLP path
     "crowd_tiny_s0.json",       # conv / GroupNorm / two-head path
     "age_dcgan_s0.json",        # ConvTranspose (DCGAN G) path
+    "driving_stack2_s0.json",   # channel-stacked frame path
 ])
 def test_committed_trace_reproduces(name):
     sys.path.insert(0, os.path.join(REPO, "tools"))

@@ -75,6 +75,20 @@ def run_trace(steps: int, seed: int, hidden_size: int,
                             latent_dimension=8, seed=seed,
                             compute_dtype="float32")
         experiment = AgeExperiment(settings)
+    elif app == "driving":
+        # Channel-stacked frame path: same conv families as age but with
+        # 3*frame_stack input channels — pins the frame-stacking data
+        # convention and the stacked-channel G/D numerics.
+        from srgan_tpu.apps.driving import DrivingExperiment
+
+        settings = Settings(batch_size=4, labeled_dataset_size=8,
+                            unlabeled_dataset_size=8,
+                            validation_dataset_size=2,
+                            test_dataset_size=2,
+                            age_image_size=32, driving_frame_stack=2,
+                            model_base_width=8, latent_dimension=8,
+                            seed=seed, compute_dtype="float32")
+        experiment = DrivingExperiment(settings)
     elif app == "crowd":
         from srgan_tpu.apps.crowd import CrowdExperiment
 
@@ -108,9 +122,9 @@ def run_trace(steps: int, seed: int, hidden_size: int,
             return (jnp.asarray(patches), jnp.asarray(labels),
                     jnp.asarray(upatches))
     else:
-        raise ValueError(f"unknown app {app!r}; choose coefficient|age|crowd")
+        raise ValueError(f"unknown app {app!r}; choose coefficient|age|crowd|driving")
 
-    if app in ("coefficient", "age"):
+    if app in ("coefficient", "age", "driving"):
         # Shared ArrayDataset batch draw (index sampling WITH replacement,
         # host RNG) — one definition so the two traces can never diverge
         # in batch-draw convention.
@@ -161,7 +175,7 @@ def compare_traces(trace: list, golden_trace: list, rtol: float,
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     parser.add_argument("mode", choices=["record", "compare"])
-    parser.add_argument("--app", choices=["coefficient", "age", "crowd"],
+    parser.add_argument("--app", choices=["coefficient", "age", "crowd", "driving"],
                         default="coefficient")
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--seed", type=int, default=0)
