@@ -969,6 +969,8 @@ class CrowdExperiment(Experiment):
         # dnn_only; consistent key derivation across apps).
         from srgan_tpu.apps.common import write_generated_sample_grid
         write_generated_sample_grid(self, epoch, step)
+        if len(self.validation_db) == 0:
+            return  # G-grids only: no NaN metrics over an empty split
         for use_dnn, writer in ((False, self.gan_summary_writer),
                                 (True, self.dnn_summary_writer)):
             if not use_dnn and self.settings.dnn_only:

@@ -379,8 +379,9 @@ class Experiment:
         """Per-epoch MAE/RMSE/NVE for both the SR-GAN D and the DNN baseline
         (reference: per-epoch MAE/NVE summaries [A])."""
         if self.validation_dataset is None or \
-                self.validation_dataset.labels is None:
-            return
+                self.validation_dataset.labels is None or \
+                len(self.validation_dataset) == 0:
+            return  # no/empty split: write nothing, not NaN scalars
         labels = self.validation_dataset.labels
         for use_dnn, writer in ((False, self.gan_summary_writer),
                                 (True, self.dnn_summary_writer)):

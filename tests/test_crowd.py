@@ -1400,3 +1400,27 @@ class TestDensitySummaries:
         pngs = glob.glob(os.path.join(
             exp.trial_directory, "*", "images", "validation_density_*"))
         assert pngs == []
+
+
+def test_empty_validation_split_writes_no_nan_scalars(tmp_path):
+    """A validation_dataset_size=0 trial must not spam NaN validation
+    scalars into TensorBoard each pass (it used to log NaN MAE/RMSE)."""
+    import json
+    import warnings
+    from srgan_tpu.apps.crowd import CrowdExperiment
+
+    exp = CrowdExperiment(Settings(
+        trial_name="emptyval", logs_directory=str(tmp_path / "logs"),
+        batch_size=8, steps_to_run=3, summary_step_period=2,
+        labeled_dataset_size=6, unlabeled_dataset_size=8,
+        validation_dataset_size=0,
+        crowd_image_height=80, crowd_image_width=96,
+        image_patch_size=32, model_base_width=8, latent_dimension=16))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # NaN-in-summary warns → fail
+        exp.train()
+    scalars = os.path.join(exp.trial_directory, "GAN", "scalars.jsonl")
+    if os.path.exists(scalars):
+        for line in open(scalars):
+            rec = json.loads(line)
+            assert not rec["tag"].startswith("validation/"), rec
