@@ -63,6 +63,13 @@ def main(argv=None) -> int:
     parser.add_argument("--preset", default=None,
                         help="named settings bundle (srgan_tpu.presets); "
                              "explicit --flags override preset values")
+    parser.add_argument("--export_density_maps", default=None,
+                        metavar="PATH.npz",
+                        help="crowd only: after evaluation, write the "
+                             "predicted density-map canvases of the "
+                             "validation (and, if present, test) split "
+                             "to an .npz (keys: validation, test, plus "
+                             "*_image_ids for tiled databases)")
     args, rest = parser.parse_known_args(argv)
 
     overrides = []
@@ -99,20 +106,47 @@ def main(argv=None) -> int:
     experiment_cls = getattr(importlib.import_module(module_name),
                              class_name)
     experiment = experiment_cls(settings)
+    if args.export_density_maps and args.app != "crowd":
+        raise SystemExit("--export_density_maps is crowd-only (density "
+                         "maps are a crowd-counting concept)")
     if args.evaluate_only:
         if not settings.load_model_path:
             raise SystemExit("--evaluate_only requires --load_model_path")
         experiment.prepare_for_evaluation(settings.load_model_path)
         result = {"validation": experiment.evaluate()}
         _add_test_metrics(experiment, result)
+        _export_density_maps(experiment, args.export_density_maps)
         print(json.dumps(result))
         return 0
     experiment.train()
     result = {"trial_directory": experiment.trial_directory,
               "validation": experiment.evaluate()}
     _add_test_metrics(experiment, result)
+    _export_density_maps(experiment, args.export_density_maps)
     print(json.dumps(result))
     return 0
+
+
+def _export_density_maps(experiment, path) -> None:
+    """Write predicted density canvases ([N, H/4, W/4] per split) — the
+    artifact crowd users consume downstream (heat maps, localization);
+    the reference exposes maps only through its plotting code."""
+    if not path:
+        return
+    import numpy as np
+
+    arrays = {"validation": experiment.predict_density_maps()}
+    if experiment.test_dataset is not None and \
+            len(experiment.test_dataset) > 0:
+        arrays["test"] = experiment.predict_density_maps(
+            db=experiment.test_dataset)
+    for split in list(arrays):
+        db = (experiment.validation_db if split == "validation"
+              else experiment.test_dataset)
+        if getattr(db, "image_ids", None) is not None:
+            # tiled databases: map each example (tile) to its source image
+            arrays[f"{split}_image_ids"] = db.image_ids
+    np.savez(path, **arrays)
 
 
 def _add_test_metrics(experiment, result: dict) -> None:

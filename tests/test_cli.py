@@ -138,3 +138,33 @@ def test_empty_test_split_refuses(tmp_path):
     exp.train()
     with pytest.raises(ValueError, match="empty"):
         exp.test()
+
+
+def _crowd_args(tmp_path):
+    return ["--steps_to_run", "3", "--batch_size", "8",
+            "--labeled_dataset_size", "6", "--unlabeled_dataset_size",
+            "8", "--validation_dataset_size", "3",
+            "--test_dataset_size", "2",
+            "--crowd_image_height", "80", "--crowd_image_width", "96",
+            "--image_patch_size", "32", "--model_base_width", "8",
+            "--latent_dimension", "16",
+            "--logs_directory", str(tmp_path / "logs"),
+            "--trial_name", "cliexp"]
+
+
+def test_export_density_maps(tmp_path, capsys):
+    out_npz = str(tmp_path / "maps.npz")
+    rc = main(["crowd", "--export_density_maps", out_npz]
+              + _crowd_args(tmp_path))
+    assert rc == 0
+    capsys.readouterr()
+    with np.load(out_npz) as z:
+        assert z["validation"].shape == (3, 80 // 4, 96 // 4)
+        assert z["test"].shape == (2, 80 // 4, 96 // 4)
+        assert np.isfinite(z["validation"]).all()
+
+
+def test_export_density_maps_crowd_only(tmp_path):
+    with pytest.raises(SystemExit, match="crowd-only"):
+        main(["coefficient", "--export_density_maps",
+              str(tmp_path / "m.npz")] + _common_args(tmp_path))
