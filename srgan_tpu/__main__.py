@@ -106,25 +106,53 @@ def main(argv=None) -> int:
     experiment_cls = getattr(importlib.import_module(module_name),
                              class_name)
     experiment = experiment_cls(settings)
-    if args.export_density_maps and args.app != "crowd":
-        raise SystemExit("--export_density_maps is crowd-only (density "
-                         "maps are a crowd-counting concept)")
+    if args.export_density_maps:
+        if args.app != "crowd":
+            raise SystemExit("--export_density_maps is crowd-only "
+                             "(density maps are a crowd-counting "
+                             "concept)")
+        # Fail on an unwritable destination BEFORE the (possibly
+        # hours-long) run, not at the post-training save.
+        _ensure_writable(args.export_density_maps)
     if args.evaluate_only:
         if not settings.load_model_path:
             raise SystemExit("--evaluate_only requires --load_model_path")
         experiment.prepare_for_evaluation(settings.load_model_path)
-        result = {"validation": experiment.evaluate()}
+        result = {"validation": _evaluate_or_null(experiment)}
         _add_test_metrics(experiment, result)
         _export_density_maps(experiment, args.export_density_maps)
         print(json.dumps(result))
         return 0
     experiment.train()
     result = {"trial_directory": experiment.trial_directory,
-              "validation": experiment.evaluate()}
+              "validation": _evaluate_or_null(experiment)}
     _add_test_metrics(experiment, result)
     _export_density_maps(experiment, args.export_density_maps)
     print(json.dumps(result))
     return 0
+
+
+def _ensure_writable(path: str) -> None:
+    import os
+    parent = os.path.dirname(os.path.abspath(path))
+    try:
+        os.makedirs(parent, exist_ok=True)
+    except OSError as error:
+        raise SystemExit(f"cannot write {path!r}: {error}")
+    if not os.access(parent, os.W_OK):
+        raise SystemExit(f"cannot write {path!r}: {parent} not writable")
+
+
+def _evaluate_or_null(experiment):
+    """Validation metrics, or ``null`` for an empty/absent validation
+    split — a completed training run must always report its JSON (the
+    empty TEST split already gets the same treatment)."""
+    ds = getattr(experiment, "validation_db", None)
+    if ds is None:
+        ds = experiment.validation_dataset
+    if ds is None or len(ds) == 0:
+        return None
+    return experiment.evaluate()
 
 
 def _export_density_maps(experiment, path) -> None:

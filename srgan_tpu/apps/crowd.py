@@ -921,13 +921,15 @@ class CrowdExperiment(Experiment):
         # path (jit re-specializes on the mask shape).
         h, w = db.image_size
         f = DENSITY_DOWNSAMPLE
-        if db.roi_masks is not None:
-            mask_ds = db.roi_masks.reshape(
-                len(db), h // f, f, w // f, f).mean(axis=(2, 4)
-                                                   ).astype(np.float32)
-        else:
-            mask_ds = np.ones((len(db), 1, 1), np.float32)
         n = len(db) if limit is None else min(limit, len(db))
+        if db.roi_masks is not None:
+            # Downsample only the evaluated prefix: under limit=k the
+            # full-split O(N*H*W) reduction would dwarf the k-image eval.
+            mask_ds = db.roi_masks[:n].reshape(
+                n, h // f, f, w // f, f).mean(axis=(2, 4)
+                                              ).astype(np.float32)
+        else:
+            mask_ds = np.ones((n, 1, 1), np.float32)
         out_shape = ((n, h // f, w // f) if return_maps else (n,))
         counts = np.zeros(out_shape, np.float32)
         # Static chunk size (one compiled program): mesh-multiple so the
@@ -979,11 +981,22 @@ class CrowdExperiment(Experiment):
                 # grid-evaluating it wastes a full sliding-grid pass and
                 # logs garbage as validation/MAE.
                 continue
-            pred = self.predict_image_counts(use_dnn=use_dnn)
+            if self.settings.crowd_summary_image_count > 0:
+                # ONE grid program per writer: the maps canvases serve
+                # both the count metrics (host-side per-image sum) and
+                # the triptych panels — keeping in-training compiled
+                # program count equal to the counts-only configuration
+                # (remote-TPU compiles are ~2.5 min each; review r3).
+                maps = self.predict_density_maps(use_dnn=use_dnn)
+                pred = maps.sum(axis=(1, 2))
+            else:
+                maps = None
+                pred = self.predict_image_counts(use_dnn=use_dnn)
             result = self._count_metrics(self.validation_db, pred)
             for name, value in result.items():
                 writer.add_scalar(f"validation/{name}", value, step)
-            self._write_density_triptychs(writer, use_dnn, step)
+            if maps is not None:
+                self._write_density_triptychs(writer, step, maps)
 
     @staticmethod
     def _heat(v: np.ndarray) -> np.ndarray:
@@ -992,19 +1005,19 @@ class CrowdExperiment(Experiment):
         return np.clip(np.stack([3 * v, 3 * v - 1, 3 * v - 2], axis=-1),
                        0.0, 1.0)
 
-    def _write_density_triptychs(self, writer, use_dnn: bool,
-                                 step: int) -> None:
+    def _write_density_triptychs(self, writer, step: int,
+                                 maps: np.ndarray) -> None:
         """(input | GT density | predicted density) image summaries for
         the first K validation images — the standard crowd-counting
         diagnostic (extension over the reference's G-sample grids;
         SURVEY §5 metrics row [A][H]). Density panels share one
         intensity scale so over/under-prediction is visible (counts
-        themselves are the validation scalars)."""
+        themselves are the validation scalars). ``maps``: the split's
+        predicted canvases, already computed for the count metrics."""
         db = self.validation_db
         k = min(self.settings.crowd_summary_image_count, len(db))
         if k <= 0:
             return
-        maps = self.predict_density_maps(use_dnn=use_dnn, limit=k)
         f = DENSITY_DOWNSAMPLE
         h, w = db.image_size
         for i in range(k):

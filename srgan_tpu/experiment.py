@@ -156,6 +156,22 @@ class Experiment:
             if writer is not None:
                 writer.close()
 
+    def _apply_compilation_cache(self) -> None:
+        """Point JAX's persistent compile cache at
+        ``settings.compilation_cache_dir`` (train AND evaluate-only
+        flows — repeat evaluations recompile the same grid kernels).
+
+        Process-global, and JAX initializes the cache backend at most
+        ONCE per process (at the first compile after a dir is set): the
+        first configured directory wins for the process lifetime; later
+        trials with a different dir keep using the first. The
+        min-compile-time threshold is left at whatever the process
+        configured (JAX's default is already 1.0 s)."""
+        if self.settings.compilation_cache_dir:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.expanduser(self.settings.compilation_cache_dir))
+
     def prepare_for_evaluation(self, trial_directory: str
                                ) -> SRGANTrainState:
         """Set up everything needed to evaluate a saved trial without
@@ -164,6 +180,7 @@ class Experiment:
         ``trial_directory`` doubles as the checkpoint source (same
         semantics as ``settings.load_model_path``).
         """
+        self._apply_compilation_cache()
         self.trial_directory = trial_directory
         period = self.settings.summary_step_period
         self.dnn_summary_writer = SummaryWriter(
@@ -194,16 +211,7 @@ class Experiment:
         previous_debug_nans = jax.config.jax_debug_nans
         if settings.debug_nans:
             jax.config.update("jax_debug_nans", True)
-        if settings.compilation_cache_dir:
-            # Persistent XLA compile cache: repeat trials of a config
-            # skip the (minutes-long on remote TPU) kernel compiles.
-            # Process-global and sticky by design — the cache is keyed
-            # by program, so later trials in this process still benefit.
-            jax.config.update("jax_compilation_cache_dir",
-                              os.path.expanduser(
-                                  settings.compilation_cache_dir))
-            jax.config.update(
-                "jax_persistent_cache_min_compile_time_secs", 1.0)
+        self._apply_compilation_cache()
         try:
             self.trial_directory = make_trial_directory(settings)
             self.prepare_summary_writers()

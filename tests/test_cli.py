@@ -168,3 +168,29 @@ def test_export_density_maps_crowd_only(tmp_path):
     with pytest.raises(SystemExit, match="crowd-only"):
         main(["coefficient", "--export_density_maps",
               str(tmp_path / "m.npz")] + _common_args(tmp_path))
+
+
+def test_cli_empty_validation_split_reports_null(tmp_path, capsys):
+    """A validation_dataset_size=0 training run must still print its
+    result JSON ('validation': null) instead of crashing post-train
+    (review r3)."""
+    args = ["crowd"] + _crowd_args(tmp_path)
+    args[args.index("--validation_dataset_size") + 1] = "0"
+    args[args.index("--test_dataset_size") + 1] = "0"
+    rc = main(args)
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["validation"] is None
+    assert out["test"] is None
+    assert os.path.isdir(out["trial_directory"])
+
+
+def test_export_density_maps_unwritable_fails_before_training(tmp_path):
+    """An unwritable export destination must fail BEFORE the run, not
+    after hours of training (review r3). Uses a file-as-parent path
+    (mode bits don't stop root, so chmod can't model this)."""
+    blocker = tmp_path / "blocker"
+    blocker.write_text("")
+    with pytest.raises(SystemExit, match="cannot write"):
+        main(["crowd", "--export_density_maps",
+              str(blocker / "maps.npz")] + _crowd_args(tmp_path))

@@ -67,6 +67,11 @@ def test_debug_nans_setting_plumbs_through(tmp_path):
 
 
 def test_compilation_cache_dir_setting_applied(tmp_path):
+    """Plumbing only: asserts the jax config is pointed at the setting
+    (for BOTH train and evaluate-only flows). The cache backend itself
+    initializes once per process — the suite's conftest cache wins here,
+    so actual disk population is verified on hardware (BASELINE.md),
+    not in this test."""
     cache = str(tmp_path / "xla_cache")
     settings = Settings(trial_name="cache",
                         compilation_cache_dir=cache,
@@ -77,6 +82,11 @@ def test_compilation_cache_dir_setting_applied(tmp_path):
                         validation_dataset_size=8)
     exp = CoefficientExperiment(settings)
     exp.train()
-    # Sticky by design (process-global cache config; later trials in the
-    # process keep benefiting).
+    assert jax.config.jax_compilation_cache_dir == cache
+
+    # evaluate-only flow applies it too (repeat evaluations were the
+    # scenario the setting was inert for; review r3)
+    jax.config.update("jax_compilation_cache_dir", None)
+    fresh = CoefficientExperiment(settings)
+    fresh.prepare_for_evaluation(exp.trial_directory)
     assert jax.config.jax_compilation_cache_dir == cache
