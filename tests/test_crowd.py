@@ -1424,3 +1424,39 @@ def test_empty_validation_split_writes_no_nan_scalars(tmp_path):
         for line in open(scalars):
             rec = json.loads(line)
             assert not rec["tag"].startswith("validation/"), rec
+
+
+def test_export_density_maps_tiled_includes_image_ids(tmp_path):
+    """--export_density_maps on a tiled (native-resolution) database
+    must carry image_ids so consumers can aggregate tiles per source
+    image."""
+    from srgan_tpu.__main__ import _export_density_maps
+    from srgan_tpu.apps.crowd import CrowdExperiment
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (80, 120, 3), np.uint8)
+    Image.fromarray(img).save(raw / "img_0001.jpg")
+    savemat(raw / "img_0001_ann.mat",
+            {"annPoints": np.array([[10.0, 20.0], [100.0, 60.0]])})
+    db = UcfQnrfPreprocessor(height=40, width=60, sigma=3.0,
+                             mode="tiles").preprocess(str(raw))
+    root = tmp_path / "db"
+    root.mkdir()
+    for split in ("labeled", "unlabeled", "validation"):
+        db.save(str(root / f"{split}.npz"))
+
+    exp = CrowdExperiment(Settings(
+        trial_name="tileexp", logs_directory=str(tmp_path / "logs"),
+        crowd_database_path=str(root),
+        crowd_image_height=40, crowd_image_width=60,
+        batch_size=8, steps_to_run=2, summary_step_period=2,
+        image_patch_size=16, model_base_width=8, latent_dimension=16))
+    exp.train()
+    out = str(tmp_path / "maps.npz")
+    _export_density_maps(exp, out)
+    with np.load(out) as z:
+        assert z["validation"].shape == (4, 10, 15)  # 4 tiles of 40x60
+        np.testing.assert_array_equal(z["validation_image_ids"],
+                                      [0, 0, 0, 0])
