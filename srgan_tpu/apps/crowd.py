@@ -897,7 +897,18 @@ class CrowdExperiment(Experiment):
         """Per-example full-image counts for a split (default:
         validation): grid patches → predicted maps → overlap-averaged
         canvas → Σ, entirely on device; several images' grids are
-        batched into each device call and sharded over the mesh."""
+        batched into each device call and sharded over the mesh.
+
+        When the maps variant of the grid program is ALREADY compiled
+        (triptych summaries compile it during training), counts come
+        from a host-side sum of its canvases instead of compiling the
+        device-summed variant — saving a ~2.5-min remote-TPU compile at
+        the post-training evaluate() for a few MB of extra transfer."""
+        size = (db if db is not None else self.validation_db).image_size
+        key = (size, bool(self._resolve_use_dnn(use_dnn)), True)
+        if key in self._grid_count_fns:
+            return self._predict_grid(use_dnn, db,
+                                      return_maps=True).sum(axis=(1, 2))
         return self._predict_grid(use_dnn, db, return_maps=False)
 
     def _predict_grid(self, use_dnn: Optional[bool],

@@ -1375,6 +1375,20 @@ class TestDensitySummaries:
         assert one.shape == (1, 80 // 4, 96 // 4)
         np.testing.assert_allclose(one[0], full[0], rtol=1e-5)
 
+    def test_counts_reuse_maps_program(self, tmp_path):
+        """After training (triptychs compile the maps grid program),
+        predict_image_counts reuses it: counts == host sum of canvases,
+        and no counts-variant program gets compiled."""
+        from srgan_tpu.apps.crowd import CrowdExperiment
+
+        exp = CrowdExperiment(self._settings(tmp_path))
+        exp.train()
+        maps = exp.predict_density_maps()
+        counts = exp.predict_image_counts()
+        np.testing.assert_allclose(counts, maps.sum(axis=(1, 2)),
+                                   rtol=1e-6)
+        assert all(key[2] for key in exp._grid_count_fns)  # maps-only
+
     def test_triptych_pngs_written(self, tmp_path):
         import glob
         from srgan_tpu.apps.crowd import CrowdExperiment
