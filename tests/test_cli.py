@@ -194,3 +194,20 @@ def test_export_density_maps_unwritable_fails_before_training(tmp_path):
     with pytest.raises(SystemExit, match="cannot write"):
         main(["crowd", "--export_density_maps",
               str(blocker / "maps.npz")] + _crowd_args(tmp_path))
+
+
+def test_export_density_maps_evaluate_only(tmp_path, capsys):
+    """The export flag works on the restore path too (the flow where a
+    user most wants maps from a finished trial)."""
+    rc = main(["crowd"] + _crowd_args(tmp_path))
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    npz = str(tmp_path / "eval_maps.npz")
+    rc = main(["crowd", "--evaluate_only",
+               "--load_model_path", out["trial_directory"],
+               "--export_density_maps", npz] + _crowd_args(tmp_path))
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(result["validation"]["MAE"])
+    with np.load(npz) as z:
+        assert z["validation"].shape == (3, 80 // 4, 96 // 4)
