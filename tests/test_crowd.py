@@ -544,7 +544,9 @@ class TestCrowdExperiment:
             pytest.skip("g++ unavailable")
         exp = CrowdExperiment(self._settings(tmp_path,
                                              crowd_host_pipeline=True))
-        state = exp.train()
+        # the measured tier-selection advisory is intended behavior
+        with pytest.warns(UserWarning, match="crowd_host_pipeline"):
+            state = exp.train()
         assert int(jax.device_get(state.step)) == 3
         result = exp.evaluate()
         assert np.isfinite(result["MAE"])
