@@ -60,6 +60,11 @@ def main(argv=None) -> None:
     # amortizing the per-step host cost (numpy draws + dispatches over
     # the remote tunnel). HBM path only.
     parser.add_argument("--steps_per_dispatch", type=int, default=None)
+    # HBM dtype of the label maps (Settings.crowd_label_dtype): measures
+    # the capacity lever's (non-)cost — the sampler is not the
+    # bottleneck, so bf16 should bench at parity with f32.
+    parser.add_argument("--crowd_label_dtype", default="float32",
+                        choices=["float32", "bfloat16"])
     args = parser.parse_args(argv)
 
     import jax
@@ -89,6 +94,7 @@ def main(argv=None) -> None:
         compute_dtype="bfloat16",
         crowd_host_pipeline=args.host_pipeline,
         steps_per_dispatch=dispatch_steps,
+        crowd_label_dtype=args.crowd_label_dtype,
     )
     exp = CrowdExperiment(settings)
     exp.dataset_setup()
