@@ -1307,6 +1307,34 @@ class TestLabelDtype:
         mass_bf16 = np.asarray(bf16).sum(axis=(1, 2, 3))
         np.testing.assert_allclose(mass_bf16, mass_f32, rtol=1e-3)
 
+    def test_bf16_rescaled_patch_mass(self):
+        """bf16 labels compose with the random-rescale sampler: mass
+        renorm happens f32-side after the kernel upcast, so the patch
+        integrals stay within the bf16 rounding budget."""
+        import jax.numpy as jnp
+        from srgan_tpu.ops.patches import extract_rescaled_patches
+
+        rng = np.random.default_rng(7)
+        dens = (rng.random((3, 96, 96, 1), np.float32) * 2e-2)
+        windows = (24, 32, 48)
+        offs = np.stack([rng.integers(0, 96 - 48, 8),
+                         rng.integers(0, 96 - 48, 8)], axis=1)
+        sidx = rng.integers(0, 3, 8).astype(np.int32)
+        idx = rng.integers(0, 3, 8).astype(np.int32)
+        flips = (np.arange(8) % 2).astype(np.int32)
+        kw = dict(patch_size=32, window_sizes=windows,
+                  preserve_mass=True)
+        f32 = extract_rescaled_patches(
+            jnp.asarray(dens), jnp.asarray(offs), jnp.asarray(flips),
+            jnp.asarray(sidx), indices=jnp.asarray(idx), **kw)
+        bf16 = extract_rescaled_patches(
+            jnp.asarray(dens).astype(jnp.bfloat16), jnp.asarray(offs),
+            jnp.asarray(flips), jnp.asarray(sidx),
+            indices=jnp.asarray(idx), **kw)
+        np.testing.assert_allclose(
+            np.asarray(bf16).sum(axis=(1, 2, 3)),
+            np.asarray(f32).sum(axis=(1, 2, 3)), rtol=1e-3)
+
     def test_host_pipeline_rejects_bf16(self, tmp_path):
         from srgan_tpu.apps.crowd import CrowdExperiment
 
