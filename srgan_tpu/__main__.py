@@ -118,16 +118,19 @@ def main(argv=None) -> int:
         if not settings.load_model_path:
             raise SystemExit("--evaluate_only requires --load_model_path")
         experiment.prepare_for_evaluation(settings.load_model_path)
+        # Export FIRST: it compiles the maps grid program, which the
+        # evaluate() calls below then reuse (predict_image_counts) —
+        # one remote compile instead of two (review r3).
+        _export_density_maps(experiment, args.export_density_maps)
         result = {"validation": _evaluate_or_null(experiment)}
         _add_test_metrics(experiment, result)
-        _export_density_maps(experiment, args.export_density_maps)
         print(json.dumps(result))
         return 0
     experiment.train()
+    _export_density_maps(experiment, args.export_density_maps)
     result = {"trial_directory": experiment.trial_directory,
               "validation": _evaluate_or_null(experiment)}
     _add_test_metrics(experiment, result)
-    _export_density_maps(experiment, args.export_density_maps)
     print(json.dumps(result))
     return 0
 
