@@ -286,3 +286,47 @@ class TestExtractRescaledPatches:
                 jnp.zeros((1, 16, 16, 3)), jnp.zeros((1, 2), jnp.int32),
                 jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32),
                 patch_size=8, window_sizes=(8, 24), interpret=True)
+
+
+class TestPatchShapeFuzz:
+    """Randomized shape matrix vs the NumPy golden model: odd heights,
+    narrow widths, 1/3/5-channel, all three HBM dtypes, corner offsets —
+    the alignment/pad proofs must hold for arbitrary user data, not just
+    the shapes the fixed tests use."""
+
+    @pytest.mark.parametrize("seed", range(8))
+    def test_random_config_matches_reference(self, seed):
+        from srgan_tpu.ops.patches import extract_patches_reference
+
+        rng = np.random.default_rng(100 + seed)
+        p = int(rng.choice([4, 8, 16]))
+        h = p + int(rng.integers(0, 40))
+        w = p + int(rng.integers(0, 40))
+        c = int(rng.choice([1, 3, 5]))
+        n = int(rng.integers(1, 5))
+        b = int(rng.integers(1, 9))
+        dtype = rng.choice(["float32", "uint8", "bfloat16"])
+        base = rng.integers(0, 256, (n, h, w, c)).astype(np.float32)
+        images = base.astype(np.uint8) if dtype == "uint8" else base
+        offsets = np.stack([rng.integers(0, h - p + 1, b),
+                            rng.integers(0, w - p + 1, b)],
+                           axis=-1).astype(np.int32)
+        # force true corner coverage into the batch
+        offsets[0] = (h - p, w - p)
+        if b > 1:
+            offsets[1] = (0, 0)
+        idx = rng.integers(0, n, b).astype(np.int32)
+        flips = rng.integers(0, 2, b).astype(np.int32)
+        dev_images = jnp.asarray(images)
+        if dtype == "bfloat16":
+            dev_images = dev_images.astype(jnp.bfloat16)
+        got = np.asarray(extract_patches(
+            dev_images, jnp.asarray(offsets), jnp.asarray(flips),
+            patch_size=p, indices=jnp.asarray(idx), interpret=True))
+        # golden model sees the SAME (rounded) values the kernel reads
+        host = (np.asarray(dev_images.astype(jnp.float32))
+                if dtype == "bfloat16" else images.astype(np.float32))
+        want = extract_patches_reference(host, offsets, flips, p,
+                                         indices=idx)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6,
+                                   err_msg=f"{dtype} {n}x{h}x{w}x{c} p={p}")
