@@ -330,3 +330,41 @@ class TestPatchShapeFuzz:
                                          indices=idx)
         np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6,
                                    err_msg=f"{dtype} {n}x{h}x{w}x{c} p={p}")
+
+    @pytest.mark.parametrize("seed", range(6))
+    def test_random_rescale_config_matches_reference(self, seed):
+        from srgan_tpu.ops.patches import (extract_rescaled_patches,
+                                           extract_rescaled_patches_reference)
+
+        rng = np.random.default_rng(300 + seed)
+        p = int(rng.choice([8, 16]))
+        windows = tuple(sorted({int(round(p * f))
+                                for f in rng.choice(
+                                    [0.5, 0.75, 1.0, 1.25, 1.5], 3)}))
+        wmax = max(windows)
+        h = wmax + int(rng.integers(0, 30))
+        w = wmax + int(rng.integers(0, 30))
+        c = int(rng.choice([1, 3]))
+        n = int(rng.integers(1, 4))
+        b = int(rng.integers(1, 7))
+        images = rng.random((n, h, w, c)).astype(np.float32) * 2e-2
+        sidx = rng.integers(0, len(windows), b).astype(np.int32)
+        # per-example bound: the example's OWN window must fit
+        win = np.asarray(windows)[sidx]
+        oy = (rng.random(b) * (h - win + 1)).astype(np.int32)
+        ox = (rng.random(b) * (w - win + 1)).astype(np.int32)
+        offsets = np.stack([oy, ox], axis=-1)
+        offsets[0] = (h - win[0], w - win[0])  # corner case in-batch
+        idx = rng.integers(0, n, b).astype(np.int32)
+        flips = rng.integers(0, 2, b).astype(np.int32)
+        mass = bool(rng.integers(0, 2))
+        got = np.asarray(extract_rescaled_patches(
+            jnp.asarray(images), jnp.asarray(offsets), jnp.asarray(flips),
+            jnp.asarray(sidx), patch_size=p, window_sizes=windows,
+            preserve_mass=mass, indices=jnp.asarray(idx), interpret=True))
+        want = extract_rescaled_patches_reference(
+            images, offsets, flips, sidx, p, windows,
+            preserve_mass=mass, indices=idx)
+        np.testing.assert_allclose(
+            got, want, rtol=1e-5, atol=1e-7,
+            err_msg=f"{n}x{h}x{w}x{c} p={p} windows={windows} mass={mass}")
