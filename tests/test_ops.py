@@ -368,3 +368,31 @@ class TestPatchShapeFuzz:
         np.testing.assert_allclose(
             got, want, rtol=1e-5, atol=1e-7,
             err_msg=f"{n}x{h}x{w}x{c} p={p} windows={windows} mass={mass}")
+
+
+class TestDensityShapeFuzz:
+    """Randomized configs vs the NumPy golden model: off-canvas heads,
+    zero-head images, odd map sizes, varied sigma — the mass guarantee
+    (Σ map == head count) must hold for arbitrary annotations."""
+
+    @pytest.mark.parametrize("seed", range(6))
+    def test_random_config_matches_reference(self, seed):
+        rng = np.random.default_rng(200 + seed)
+        h = int(rng.integers(9, 70))
+        w = int(rng.integers(9, 70))
+        b = int(rng.integers(1, 5))
+        cap = int(rng.integers(1, 12))
+        sigma = float(rng.uniform(0.8, 6.0))
+        # heads scattered INCLUDING off-canvas (clipped splats must
+        # still carry their unit mass where they overlap the canvas)
+        heads = np.stack([rng.uniform(-5, h + 5, (b, cap)),
+                          rng.uniform(-5, w + 5, (b, cap))],
+                         axis=-1).astype(np.float32)
+        counts = rng.integers(0, cap + 1, (b,)).astype(np.int32)
+        got = np.asarray(density_maps(jnp.asarray(heads),
+                                      jnp.asarray(counts), sigma,
+                                      height=h, width=w, interpret=True))
+        want = density_maps_reference(heads, counts, sigma, h, w)
+        np.testing.assert_allclose(
+            got, want, rtol=1e-4, atol=1e-6,
+            err_msg=f"b={b} {h}x{w} cap={cap} sigma={sigma:.2f}")
