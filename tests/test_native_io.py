@@ -128,3 +128,35 @@ class TestPrefetcher:
                 for _ in range(50):
                     batch, _ = pf.next()
                 assert np.isfinite(batch).all()
+
+
+class TestGatherShapeFuzz:
+    """Randomized shapes/dtypes vs the NumPy golden model — the C++
+    crop-gather must handle arbitrary dataset geometry, not just the
+    fixed-test shapes."""
+
+    @pytest.mark.parametrize("seed", range(6))
+    def test_random_config_matches_reference(self, tmp_path, seed):
+        rng = np.random.default_rng(400 + seed)
+        p = int(rng.choice([4, 8, 16]))
+        h = p + int(rng.integers(0, 30))
+        w = p + int(rng.integers(0, 30))
+        c = int(rng.choice([1, 3, 5]))
+        n = int(rng.integers(1, 5))
+        b = int(rng.integers(1, 9))
+        u8 = bool(rng.integers(0, 2))
+        base = rng.integers(0, 256, (n, h, w, c))
+        arr = base.astype(np.uint8) if u8 else base.astype(np.float32)
+        indices = rng.integers(0, n, b).astype(np.int32)
+        offsets = np.stack([rng.integers(0, h - p + 1, b),
+                            rng.integers(0, w - p + 1, b)],
+                           axis=-1).astype(np.int32)
+        offsets[0] = (h - p, w - p)  # corner case in-batch
+        flips = rng.integers(0, 2, b).astype(np.int32)
+        with NativeDatasetReader(_write_npy(tmp_path, arr)) as reader:
+            got = reader.gather_crops(indices, offsets, flips, p)
+        want = extract_patches_reference(arr.astype(np.float32), offsets,
+                                         flips, p, indices=indices)
+        np.testing.assert_allclose(
+            got, want, rtol=1e-6, atol=1e-6,
+            err_msg=f"{'u8' if u8 else 'f32'} {n}x{h}x{w}x{c} p={p}")
