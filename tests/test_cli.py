@@ -211,3 +211,33 @@ def test_export_density_maps_evaluate_only(tmp_path, capsys):
     assert np.isfinite(result["validation"]["MAE"])
     with np.load(npz) as z:
         assert z["validation"].shape == (3, 80 // 4, 96 // 4)
+
+
+def test_every_settings_field_round_trips_through_the_parser():
+    """Invariant over the WHOLE dataclass: any field's default value,
+    rendered the way a user would type it, parses back equal — so every
+    current and future Settings field stays drivable from the CLI."""
+    import typing
+    import dataclasses
+    import json as _json
+    from srgan_tpu.__main__ import _parse_value
+    from srgan_tpu.settings import Settings
+
+    hints = typing.get_type_hints(Settings)
+    checked = 0
+    for field in dataclasses.fields(Settings):
+        default = field.default
+        if default is dataclasses.MISSING or default is None:
+            continue  # None round-trips via the explicit "none" token
+        if isinstance(default, bool):
+            raw = "true" if default else "false"
+        elif isinstance(default, (tuple, list)):
+            raw = _json.dumps(list(default))
+        else:
+            raw = str(default)
+        got = _parse_value(raw, hints[field.name])
+        assert got == default, (field.name, raw, got, default)
+        checked += 1
+    assert checked >= 30  # the dataclass is large; guard the guard
+    # and the documented "none" token clears Optionals
+    assert _parse_value("none", hints["load_model_path"]) is None
