@@ -257,3 +257,49 @@ class TestDatabasePathChains:
         state = exp.train()
         assert int(jax.device_get(state.step)) == 2
         assert np.isfinite(exp.test()["MAE"])
+
+
+class TestAgeParserFuzz:
+    """Randomized metadata with injected NaN/inf/extreme records: the
+    parser's output invariants (finite ages in [0, 100], face present,
+    no second face) must hold for arbitrary garbage in the .mat."""
+
+    @pytest.mark.parametrize("seed", range(5))
+    def test_output_invariants_under_garbage(self, tmp_path, seed):
+        from scipy.io import savemat
+
+        from srgan_tpu.data.age import parse_imdb_wiki_metadata
+
+        rng = np.random.default_rng(500 + seed)
+        n = int(rng.integers(5, 40))
+        # datenums roughly 1850-2010, with NaN/inf/zero injections
+        dob = rng.uniform(675000, 734000, (1, n))
+        photo_taken = rng.integers(1900, 2020, (1, n)).astype(float)
+        face_score = rng.normal(1.0, 2.0, (1, n))
+        second_face = np.where(rng.random((1, n)) < 0.5,
+                               np.nan, rng.normal(2.0, 1.0, (1, n)))
+        for arr, bad in ((dob, [np.nan, 0.0]),
+                         (face_score, [np.nan, np.inf, -np.inf]),
+                         (photo_taken, [0.0])):
+            for value in bad:
+                arr[0, rng.integers(0, n)] = value
+        full_path = np.empty((1, n), object)
+        for i in range(n):
+            full_path[0, i] = np.array([f"00/img_{i}.jpg"])
+        wiki = np.zeros((1, 1), dtype=[
+            ("dob", object), ("photo_taken", object),
+            ("full_path", object), ("face_score", object),
+            ("second_face_score", object)])
+        wiki[0, 0] = (dob, photo_taken, full_path, face_score,
+                      second_face)
+        savemat(tmp_path / "wiki.mat", {"wiki": wiki})
+
+        paths, ages = parse_imdb_wiki_metadata(str(tmp_path / "wiki.mat"))
+        assert len(paths) == len(ages)
+        assert np.isfinite(ages).all()
+        assert ((ages >= 0) & (ages <= 100)).all()
+        kept = np.isin(np.array([p for p in full_path[0]]).reshape(-1),
+                       paths)
+        # every kept record passed the face filters
+        assert (face_score[0][kept] > 1.0).all()
+        assert (~np.isfinite(second_face[0][kept])).all()
