@@ -40,6 +40,8 @@ def load_driving_recording(frames_directory: str, csv_path: str,
                 angle = float(row[1])
             except ValueError:
                 continue  # header
+            if not np.isfinite(angle):
+                continue  # "nan"/"inf" parse as floats but poison labels
             rows.append((row[0], angle))
     if limit:
         # limit examples need limit + (frame_stack - 1) source frames

@@ -303,3 +303,46 @@ class TestAgeParserFuzz:
         # every kept record passed the face filters
         assert (face_score[0][kept] > 1.0).all()
         assert (~np.isfinite(second_face[0][kept])).all()
+
+
+class TestDrivingCsvFuzz:
+    """Garbage CSV rows (headers, short rows, non-numeric, nan/inf
+    angles, missing frames) must be skipped, never parsed into labels."""
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_labels_always_finite(self, tmp_path, seed):
+        from PIL import Image as PILImage
+
+        from srgan_tpu.data.driving import load_driving_recording
+
+        rng = np.random.default_rng(600 + seed)
+        frames = tmp_path / "frames"
+        frames.mkdir(exist_ok=True)
+        rows, good = [], 0
+        for i in range(int(rng.integers(6, 20))):
+            kind = rng.integers(0, 6)
+            name = f"f_{i}.jpg"
+            if kind == 0:
+                rows.append("frame,angle")            # header
+            elif kind == 1:
+                rows.append(name)                      # short row
+            elif kind == 2:
+                rows.append(f"{name},not_a_number")
+            elif kind == 3:
+                rows.append(f"{name},{rng.choice(['nan', 'inf', '-inf'])}")
+            elif kind == 4:
+                rows.append(f"missing_{i}.jpg,0.5")    # frame absent
+            else:
+                angle = float(rng.normal(0, 2))
+                rows.append(f"{name},{angle}")
+                good += 1
+            if kind in (2, 3, 5):  # rows whose frame must exist
+                PILImage.fromarray(
+                    rng.integers(0, 255, (8, 8, 3), np.uint8)).save(
+                        frames / name)
+        csv_path = tmp_path / "rec.csv"
+        csv_path.write_text("\n".join(rows) + "\n")
+        examples, labels = load_driving_recording(
+            str(frames), str(csv_path), image_size=8)
+        assert len(examples) == len(labels) == good
+        assert np.isfinite(labels).all()
