@@ -398,6 +398,10 @@ class DatabasePreprocessor:
                         img.resize((self.width, self.height),
                                    Image.BILINEAR), np.uint8)
             heads_xy = self.load_head_positions(ann_path)
+            # Corrupted annotations (NaN/inf points occur in real .mat
+            # files) would silently NaN the whole image's density map;
+            # drop them like any other unusable record.
+            heads_xy = heads_xy[np.isfinite(heads_xy).all(axis=-1)]
             roi = self.load_roi_mask(image_path, raw_h, raw_w)
             any_roi = any_roi or roi is not None
             if roi is None:

@@ -1504,3 +1504,23 @@ def test_export_density_maps_tiled_includes_image_ids(tmp_path):
         assert z["validation"].shape == (4, 10, 15)  # 4 tiles of 40x60
         np.testing.assert_array_equal(z["validation_image_ids"],
                                       [0, 0, 0, 0])
+
+
+def test_preprocessor_drops_non_finite_head_annotations(tmp_path):
+    """A NaN/inf annotation point (real-world .mat corruption) must be
+    dropped, not rendered into a NaN density map poisoning the image."""
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    rng = np.random.default_rng(0)
+    Image.fromarray(rng.integers(0, 255, (40, 48, 3), np.uint8)).save(
+        raw / "img_0001.jpg")
+    savemat(raw / "img_0001_ann.mat",
+            {"annPoints": np.array([[10.0, 20.0],
+                                    [np.nan, 5.0],
+                                    [7.0, np.inf],
+                                    [30.0, 15.0]])})
+    db = UcfQnrfPreprocessor(height=40, width=48,
+                             sigma=3.0).preprocess(str(raw))
+    assert np.isfinite(db.density_maps).all()
+    np.testing.assert_allclose(db.density_maps.sum(), 2.0, rtol=1e-4)
+    np.testing.assert_allclose(db.head_counts, [2.0], rtol=1e-4)
