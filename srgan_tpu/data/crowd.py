@@ -258,6 +258,14 @@ class CrowdDatabase:
     @classmethod
     def load(cls, path: str) -> "CrowdDatabase":
         data = np.load(path)
+        # Fail fast on a corrupted label store: one NaN here would
+        # otherwise surface steps later as NaN losses with no pointer
+        # back to the data. (One pass over the arrays, load-time only.)
+        for name in ("density_maps", "head_counts"):
+            if not np.isfinite(data[name]).all():
+                raise ValueError(
+                    f"{path}: non-finite values in {name!r} — the "
+                    f"database file is corrupted; re-run preprocessing")
         return cls(images=data["images"],
                    density_maps=data["density_maps"],
                    head_counts=data["head_counts"],

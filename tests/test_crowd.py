@@ -1524,3 +1524,17 @@ def test_preprocessor_drops_non_finite_head_annotations(tmp_path):
     assert np.isfinite(db.density_maps).all()
     np.testing.assert_allclose(db.density_maps.sum(), 2.0, rtol=1e-4)
     np.testing.assert_allclose(db.head_counts, [2.0], rtol=1e-4)
+
+
+def test_database_load_rejects_non_finite_labels(tmp_path):
+    """A corrupted npz (NaN density) must fail at load with a pointer to
+    the data, not steps later as unexplained NaN losses."""
+    db = synthetic_crowd_database(2, height=16, width=16, max_heads=4,
+                                  sigma=2.0)
+    path = str(tmp_path / "labeled.npz")
+    db.save(path)
+    data = dict(np.load(path))
+    data["density_maps"][0, 3, 3] = np.nan
+    np.savez(path, **data)
+    with pytest.raises(ValueError, match="non-finite"):
+        CrowdDatabase.load(path)
