@@ -55,6 +55,28 @@ class TestKnnMaps:
         assert np.unravel_index(m.argmax(), m.shape) == (4, 4)
         assert m.min() > 0.0
 
+    @pytest.mark.parametrize("seed", range(4))
+    def test_knn_matches_brute_force(self, seed):
+        """Full-field parity vs an O(P*M) brute-force model, with the
+        chunked running top-k forced through multiple chunks."""
+        from srgan_tpu.data.crowd import generate_knn_map
+
+        rng = np.random.default_rng(700 + seed)
+        h = int(rng.integers(5, 25))
+        w = int(rng.integers(5, 25))
+        m = int(rng.integers(1, 40))
+        k = int(rng.integers(1, min(m, 4) + 1))
+        heads = np.stack([rng.uniform(-3, h + 3, m),
+                          rng.uniform(-3, w + 3, m)],
+                         axis=-1).astype(np.float64)
+        got = generate_knn_map(heads, h, w, k=k, _chunk=7)
+        yy, xx = np.mgrid[0:h, 0:w]
+        d = np.sqrt((yy[..., None] - heads[:, 0]) ** 2
+                    + (xx[..., None] - heads[:, 1]) ** 2)
+        want = np.sort(d, axis=-1)[..., :k].mean(axis=-1)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5,
+                                   err_msg=f"{h}x{w} m={m} k={k}")
+
     def test_preprocessor_label_type_roundtrip(self, tmp_path):
         from srgan_tpu.data.crowd import (CrowdDatabase,
                                           UcfQnrfPreprocessor)
