@@ -258,19 +258,27 @@ class CrowdDatabase:
     @classmethod
     def load(cls, path: str) -> "CrowdDatabase":
         data = np.load(path)
+        # Bind each member once: NpzFile re-inflates a compressed member
+        # on every __getitem__, so check-then-construct would decompress
+        # the multi-GB label arrays twice.
+        density_maps = data["density_maps"]
+        head_counts = data["head_counts"]
+        aux_maps = data["aux_maps"] if "aux_maps" in data else None
         # Fail fast on a corrupted label store: one NaN here would
         # otherwise surface steps later as NaN losses with no pointer
-        # back to the data. (One pass over the arrays, load-time only.)
-        for name in ("density_maps", "head_counts"):
-            if not np.isfinite(data[name]).all():
+        # back to the data. aux_maps IS the training target for
+        # knn/iknn databases, so it is validated too.
+        for name, arr in (("density_maps", density_maps),
+                          ("head_counts", head_counts),
+                          ("aux_maps", aux_maps)):
+            if arr is not None and not np.isfinite(arr).all():
                 raise ValueError(
                     f"{path}: non-finite values in {name!r} — the "
                     f"database file is corrupted; re-run preprocessing")
         return cls(images=data["images"],
-                   density_maps=data["density_maps"],
-                   head_counts=data["head_counts"],
-                   aux_maps=(data["aux_maps"]
-                             if "aux_maps" in data else None),
+                   density_maps=density_maps,
+                   head_counts=head_counts,
+                   aux_maps=aux_maps,
                    label_type=(str(data["label_type"])
                                if "label_type" in data else "density"),
                    image_ids=(data["image_ids"]

@@ -33,7 +33,7 @@ def load_driving_recording(frames_directory: str, csv_path: str,
 
     rows = []
     with open(csv_path) as f:
-        for row in csv.reader(f):
+        for line_no, row in enumerate(csv.reader(f)):
             if len(row) < 2:
                 continue
             try:
@@ -42,13 +42,13 @@ def load_driving_recording(frames_directory: str, csv_path: str,
                 continue  # header
             if not np.isfinite(angle):
                 continue  # "nan"/"inf" parse as floats but poison labels
-            rows.append((row[0], angle))
+            rows.append((line_no, row[0], angle))
     if limit:
         # limit examples need limit + (frame_stack - 1) source frames
         rows = rows[:limit + frame_stack - 1]
 
-    frames, angles = [], []
-    for name, angle in rows:
+    frames, angles, line_nos = [], [], []
+    for line_no, name, angle in rows:
         path = os.path.join(frames_directory, name)
         if not os.path.exists(path):
             continue
@@ -57,12 +57,22 @@ def load_driving_recording(frames_directory: str, csv_path: str,
                 img.convert("RGB").resize((image_size, image_size),
                                           Image.BILINEAR), np.float32))
         angles.append(angle)
+        line_nos.append(line_no)
 
     examples, labels = [], []
     for i in range(frame_stack - 1, len(frames)):
+        # A stack is only a valid temporal window if its source rows
+        # were CONSECUTIVE in the recording — dropped rows (bad angle,
+        # missing frame, header) must invalidate the windows that span
+        # them, not splice non-adjacent frames together.
+        if line_nos[i] - line_nos[i - frame_stack + 1] != frame_stack - 1:
+            continue
         stack = np.concatenate(frames[i - frame_stack + 1:i + 1], axis=-1)
         examples.append(stack / 127.5 - 1.0)
         labels.append(angles[i])
+    shape = (0, image_size, image_size, 3 * frame_stack)
+    if not examples:
+        return np.zeros(shape, np.float32), np.zeros((0,), np.float32)
     return (np.asarray(examples, np.float32),
             np.asarray(labels, np.float32))
 

@@ -278,11 +278,18 @@ class TestAgeParserFuzz:
         face_score = rng.normal(1.0, 2.0, (1, n))
         second_face = np.where(rng.random((1, n)) < 0.5,
                                np.nan, rng.normal(2.0, 1.0, (1, n)))
+        # one guaranteed-keepable record so the filter assertions below
+        # can never pass vacuously on an all-dropped seed
+        dob[0, -1] = 730486.0          # 2000-01-01
+        photo_taken[0, -1] = 2010.0    # age ~10
+        face_score[0, -1] = 3.0
+        second_face[0, -1] = np.nan
         for arr, bad in ((dob, [np.nan, 0.0]),
                          (face_score, [np.nan, np.inf, -np.inf]),
                          (photo_taken, [0.0])):
             for value in bad:
-                arr[0, rng.integers(0, n)] = value
+                # never the last slot: that's the planted good record
+                arr[0, rng.integers(0, n - 1)] = value
         full_path = np.empty((1, n), object)
         for i in range(n):
             full_path[0, i] = np.array([f"00/img_{i}.jpg"])
@@ -300,7 +307,9 @@ class TestAgeParserFuzz:
         assert ((ages >= 0) & (ages <= 100)).all()
         kept = np.isin(np.array([p for p in full_path[0]]).reshape(-1),
                        paths)
-        # every kept record passed the face filters
+        # every kept record passed the face filters (non-vacuous: the
+        # planted good record guarantees kept.any())
+        assert kept.any()
         assert (face_score[0][kept] > 1.0).all()
         assert (~np.isfinite(second_face[0][kept])).all()
 
@@ -346,3 +355,31 @@ class TestDrivingCsvFuzz:
             str(frames), str(csv_path), image_size=8)
         assert len(examples) == len(labels) == good
         assert np.isfinite(labels).all()
+
+    def test_dropped_rows_invalidate_frame_stacks(self, tmp_path):
+        """frame_stack>1: a dropped row (bad angle / missing frame) must
+        invalidate the windows that span it — never splice temporally
+        non-adjacent frames into one stack (review r3)."""
+        from PIL import Image as PILImage
+
+        from srgan_tpu.data.driving import load_driving_recording
+
+        frames = tmp_path / "frames"
+        frames.mkdir()
+        rng = np.random.default_rng(0)
+        arrays = {}
+        for i in range(5):  # PNG: lossless, so pixels compare exactly
+            arrays[i] = rng.integers(0, 255, (8, 8, 3), np.uint8)
+            PILImage.fromarray(arrays[i]).save(frames / f"f_{i}.png")
+        # row 2 has a nan angle → windows (1,2) and (2,3) are invalid
+        csv_path = tmp_path / "rec.csv"
+        csv_path.write_text("f_0.png,0.0\nf_1.png,0.1\nf_2.png,nan\n"
+                            "f_3.png,0.3\nf_4.png,0.4\n")
+        examples, labels = load_driving_recording(
+            str(frames), str(csv_path), image_size=8, frame_stack=2)
+        # valid windows: (0,1) and (3,4) only
+        np.testing.assert_allclose(labels, [0.1, 0.4])
+        want_first = np.concatenate(
+            [arrays[0], arrays[1]], axis=-1).astype(np.float32)
+        np.testing.assert_allclose(examples[0],
+                                   want_first / 127.5 - 1.0, atol=1e-6)
