@@ -69,6 +69,29 @@ def main(argv=None) -> None:
 
     import jax
 
+    # Fail fast with a diagnosis if the remote-TPU tunnel is in one of
+    # its multi-hour outages (CLAUDE.md). The hang sits in native RPC
+    # code that SIGALRM cannot interrupt, so the probe runs in a
+    # SUBPROCESS under a hard deadline before this process touches the
+    # backend at all.
+    import subprocess
+    import sys
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; "
+             "jax.device_get((jnp.ones((8,8)) @ jnp.ones((8,8)))[0,0])"],
+            timeout=120, check=True, capture_output=True)
+    except subprocess.TimeoutExpired:
+        raise SystemExit(
+            "TPU tunnel unresponsive after 120 s (known intermittent "
+            "outage — see CLAUDE.md); probe with tools/tpu_probe.py "
+            "and rerun when it recovers")
+    except subprocess.CalledProcessError as error:
+        raise SystemExit(f"backend probe failed: "
+                         f"{error.stderr.decode()[-500:]}")
+
     # Persist compiled executables: the remote-tunnel compile of the 224px
     # step costs ~4 min; repeated bench runs skip it entirely.
     jax.config.update("jax_compilation_cache_dir",
