@@ -146,7 +146,8 @@ class CrowdExperiment(Experiment):
 
     @property
     def _shard_dataset(self) -> bool:
-        return (self.settings.crowd_shard_dataset and self.mesh.size > 1
+        return (self.settings.crowd_shard_dataset
+                and pmesh.data_axis_size(self.mesh) > 1
                 and not self.settings.crowd_host_pipeline)
 
     def _check_hbm_budget(self) -> None:
@@ -176,7 +177,7 @@ class CrowdExperiment(Experiment):
         if self._shard_dataset:
             # Per-device shard of each array, including the cyclic pad to
             # a mesh multiple (what _upload_databases actually uploads).
-            d = self.mesh.size
+            d = pmesh.data_axis_size(self.mesh)
 
             def shard_bytes(total, n):
                 return -(-n // d) * (total // max(n, 1))
@@ -247,7 +248,7 @@ class CrowdExperiment(Experiment):
             return
         self._check_hbm_budget()
         if self._shard_dataset:
-            d = self.mesh.size
+            d = pmesh.data_axis_size(self.mesh)
 
             def pad(a: np.ndarray) -> np.ndarray:
                 n = -(-len(a) // d) * d  # next multiple of mesh size
@@ -541,6 +542,11 @@ class CrowdExperiment(Experiment):
             raise ValueError(
                 "steps_per_dispatch > 1 supports the fused GAN step only; "
                 "dnn_only trials dispatch per step")
+        if pmesh.is_model_parallel(self.mesh):
+            raise ValueError(
+                "steps_per_dispatch > 1 is not supported with "
+                "model_parallel_devices > 1 (the chunk program replicates "
+                "the train state; use per-step dispatch under tp)")
         raw_step = self._raw_step_fn
         num_steps = settings.steps_per_dispatch
 
@@ -625,7 +631,7 @@ class CrowdExperiment(Experiment):
         # shard_map) so cyclic-pad duplicates are never sampled.
         n_lab, n_unl = self._labeled_index_bound, self._unlabeled_index_bound
         if self._labeled_local_counts is not None:
-            share = batch // self.mesh.size
+            share = batch // pmesh.data_axis_size(self.mesh)
             n_lab = np.repeat(self._labeled_local_counts, share)
             n_unl = np.repeat(self._unlabeled_local_counts, share)
 
@@ -960,7 +966,7 @@ class CrowdExperiment(Experiment):
         # Static chunk size (one compiled program): mesh-multiple so the
         # 'data'-sharded id vector divides evenly; tail chunks pad by
         # repeating the last id and drop the padded outputs.
-        d = self.mesh.size
+        d = pmesh.data_axis_size(self.mesh)
         chunk = max(1, -(-self.EVAL_CHUNK_IMAGES // d)) * d
         for start in range(0, n, chunk):
             image_ids = np.arange(start, min(start + chunk, n))

@@ -91,15 +91,41 @@ class Experiment:
             os.path.join(self.trial_directory, "GAN"), period)
 
     def prepare_mesh(self) -> None:
+        model = self.settings.model_parallel_devices
+        if model > 1:
+            # 2-D (data × model) mesh: channel-sharded params over
+            # 'model' on top of batch sharding over 'data' (tp.py).
+            from srgan_tpu.parallel.tp import make_mesh_2d
+            data = self.settings.data_parallel_devices
+            if data is None:
+                data = max(1, len(jax.devices()) // model)
+            self.mesh = make_mesh_2d(data, model)
+            return
         self.mesh = pmesh.make_mesh(self.settings.data_parallel_devices)
 
+    def _place_state(self, state):
+        """Device placement for a (restored/host) train state: replicated
+        on the dp mesh, channel-sharded over 'model' on a 2-D mesh."""
+        if pmesh.is_model_parallel(self.mesh):
+            from srgan_tpu.parallel.tp import place_state
+            return place_state(state, self.mesh)
+        return jax.device_put(state, pmesh.replicated_sharding(self.mesh))
+
     def prepare_train_step(self) -> None:
-        if self.settings.batch_size % self.mesh.size != 0:
+        d_size = pmesh.data_axis_size(self.mesh)
+        if self.settings.batch_size % d_size != 0:
             raise ValueError(
                 f"batch_size {self.settings.batch_size} must be divisible "
-                f"by the data-parallel mesh size {self.mesh.size} "
+                f"by the data-parallel mesh size {d_size} "
                 f"(set Settings.data_parallel_devices to restrict the "
                 f"mesh)")
+        if pmesh.is_model_parallel(self.mesh):
+            from srgan_tpu.parallel.tp import jit_data_model_parallel
+            jit_step = lambda fn, **kw: jit_data_model_parallel(
+                fn, self.mesh, self.state, **kw)
+        else:
+            jit_step = lambda fn, **kw: pmesh.jit_data_parallel(
+                fn, self.mesh, **kw)
         if self.settings.dnn_only:
             # Supervised-baseline-only config (e.g. "age DNN", SURVEY §2
             # component 8): no G/D updates, labeled stream only.
@@ -107,20 +133,34 @@ class Experiment:
             step_fn = make_dnn_train_step(
                 self.settings, self.models,
                 labeled_loss_fn=self.labeled_loss_fn())
-            self._train_step = pmesh.jit_data_parallel(
-                step_fn, self.mesh, num_batch_args=2, has_key=False)
+            self._train_step = jit_step(step_fn, num_batch_args=2,
+                                        has_key=False)
         else:
             step_fn = make_gan_train_step(
                 self.settings, self.models,
                 labeled_loss_fn=self.labeled_loss_fn(),
                 latent_shape=self.latent_shape())
-            self._train_step = pmesh.jit_data_parallel(
-                step_fn, self.mesh, num_batch_args=3)
+            self._train_step = jit_step(step_fn, num_batch_args=3)
         # Unjitted step: building block for multi-step dispatch chunks
         # (apps that support Settings.steps_per_dispatch scan over it).
         self._raw_step_fn = step_fn
         repl = pmesh.replicated_sharding(self.mesh)
         batch = pmesh.batch_sharding(self.mesh)
+        if pmesh.is_model_parallel(self.mesh):
+            # Evals take the live channel-sharded params as-is (forcing
+            # repl would all-gather the weights every call).
+            from srgan_tpu.parallel.tp import state_shardings
+            d_shard = state_shardings(self.state.d_params, self.mesh)
+            self._eval_d = jax.jit(
+                lambda params, x: self.models.d_apply(params, x)[0],
+                in_shardings=(d_shard, batch), out_shardings=batch)
+            if self.models.dnn_apply is not None:
+                dnn_shard = state_shardings(self.state.dnn_params,
+                                            self.mesh)
+                self._eval_dnn = jax.jit(
+                    lambda params, x: self.models.dnn_apply(params, x)[0],
+                    in_shardings=(dnn_shard, batch), out_shardings=batch)
+            return
         self._eval_d = jax.jit(
             lambda params, x: self.models.d_apply(params, x)[0],
             in_shardings=(repl, batch), out_shardings=batch)
@@ -195,12 +235,12 @@ class Experiment:
         self.prepare_mesh()
         self.prepare_train_step()
         self.state = checkpoint.restore_state(self.state, trial_directory)
-        # Restored arrays land on a single device; replicate them over the
-        # mesh so eval fns without explicit in_shardings (e.g. the crowd
+        # Restored arrays land on a single device; place them with the
+        # mesh's shardings (replicated on dp; channel-sharded on 2-D) so
+        # eval fns without explicit in_shardings (e.g. the crowd
         # grid-eval jits, whose PATCH inputs are batch-sharded) don't see
         # incompatible placements.
-        self.state = jax.device_put(self.state,
-                                    pmesh.replicated_sharding(self.mesh))
+        self.state = self._place_state(self.state)
         return self.state
 
     # ------------------------------------------------------------- training

@@ -37,6 +37,19 @@ def make_mesh(num_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def data_axis_size(mesh: Mesh) -> int:
+    """Devices along the 'data' axis — equals ``mesh.size`` on the 1-D
+    dp mesh; on a 2-D (data × model) mesh it is the batch-sharding
+    divisor (batch/dataset sharding math must use THIS, not total
+    devices)."""
+    return mesh.shape[DATA_AXIS]
+
+
+def is_model_parallel(mesh: Mesh) -> bool:
+    """True for a 2-D (data × model) mesh (srgan_tpu.parallel.tp)."""
+    return "model" in mesh.shape
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
     """Shard axis 0 (batch) over the data axis."""
     return NamedSharding(mesh, P(axis_name))

@@ -127,6 +127,15 @@ class Settings:
     # is sharded over 'data'; parameters are replicated; XLA inserts the
     # gradient all-reduce.
     data_parallel_devices: Optional[int] = None  # None → all local devices
+    # Tensor parallelism (srgan_tpu/parallel/tp.py): >1 builds a 2-D
+    # (data × model) mesh — parameters/optimizer moments channel-sharded
+    # over 'model' where divisible, batch sharded over 'data', XLA
+    # partitions the convs and inserts the collectives. Useful when
+    # per-chip HBM binds (very wide model variants) or to shrink
+    # per-chip batch without shrinking global batch. Total devices used
+    # = data_parallel_devices × model_parallel_devices (data devices
+    # default to all-remaining). Incompatible with steps_per_dispatch>1.
+    model_parallel_devices: int = 1
 
     # ------------------------------------------------------------- app extras
     # Crowd:
