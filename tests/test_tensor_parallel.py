@@ -178,3 +178,31 @@ class TestSettingsLevelTp:
             tmp_path, model_parallel_devices=2, steps_per_dispatch=2))
         with pytest.raises(ValueError, match="model_parallel"):
             exp.train()
+
+    def test_resume_under_tp(self, tmp_path):
+        """Checkpoint → resume with model_parallel_devices: restored
+        state lands channel-sharded and training continues."""
+        first = CrowdExperiment(self._settings(
+            tmp_path, trial_name="tpresume", steps_to_run=2,
+            model_parallel_devices=2))
+        first.train()
+        resumed = CrowdExperiment(self._settings(
+            tmp_path, trial_name="tpresume2", steps_to_run=4,
+            model_parallel_devices=2,
+            load_model_path=first.trial_directory))
+        state = resumed.train()
+        assert int(jax.device_get(state.step)) == 4
+        assert np.isfinite(resumed.evaluate()["MAE"])
+
+    def test_evaluate_only_under_tp(self, tmp_path):
+        """prepare_for_evaluation places the restored state with the 2-D
+        mesh's shardings (the _place_state path)."""
+        trained = CrowdExperiment(self._settings(
+            tmp_path, trial_name="tpeval", model_parallel_devices=2))
+        trained.train()
+        want = trained.evaluate()
+        fresh = CrowdExperiment(self._settings(
+            tmp_path, trial_name="tpeval", model_parallel_devices=2))
+        fresh.prepare_for_evaluation(trained.trial_directory)
+        got = fresh.evaluate()
+        assert got["MAE"] == pytest.approx(want["MAE"], rel=1e-5)
