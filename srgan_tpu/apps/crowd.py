@@ -939,6 +939,17 @@ class CrowdExperiment(Experiment):
         use_cached_images = db is None or db is self.validation_db
         db = db if db is not None else self.validation_db
         params = (self.state.dnn_params if use_dnn else self.state.d_params)
+        if pmesh.is_model_parallel(self.mesh):
+            # The grid program is a shard_map over 'data' (the Pallas
+            # patch gather needs an explicit mesh program), whose P()
+            # param spec requires replicated inputs. Gather the
+            # channel-sharded params ONCE per eval pass here — not once
+            # per chunk dispatch inside jit. Known limit: eval needs the
+            # full params to fit per device (18M-param SR-GAN models:
+            # 72 MB — trivially; tp here buys optimizer/activation
+            # headroom, not eval-time param sharding).
+            params = jax.device_put(params,
+                                    pmesh.replicated_sharding(self.mesh))
         counts_fn = self._grid_counts_fn(db.image_size, use_dnn,
                                          return_maps=return_maps)
         if use_cached_images:

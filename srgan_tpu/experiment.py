@@ -92,6 +92,9 @@ class Experiment:
 
     def prepare_mesh(self) -> None:
         model = self.settings.model_parallel_devices
+        if model < 1:
+            raise ValueError(
+                f"model_parallel_devices must be >= 1, got {model}")
         if model > 1:
             # 2-D (data × model) mesh: channel-sharded params over
             # 'model' on top of batch sharding over 'data' (tp.py).
@@ -150,30 +153,31 @@ class Experiment:
             # Evals take the live channel-sharded params as-is (forcing
             # repl would all-gather the weights every call).
             from srgan_tpu.parallel.tp import state_shardings
-            d_shard = state_shardings(self.state.d_params, self.mesh)
-            self._eval_d = jax.jit(
-                lambda params, x: self.models.d_apply(params, x)[0],
-                in_shardings=(d_shard, batch), out_shardings=batch)
-            if self.models.dnn_apply is not None:
-                dnn_shard = state_shardings(self.state.dnn_params,
-                                            self.mesh)
-                self._eval_dnn = jax.jit(
-                    lambda params, x: self.models.dnn_apply(params, x)[0],
-                    in_shardings=(dnn_shard, batch), out_shardings=batch)
-            return
+            param_shardings = lambda params: state_shardings(params,
+                                                             self.mesh)
+        else:
+            param_shardings = lambda params: repl
         self._eval_d = jax.jit(
             lambda params, x: self.models.d_apply(params, x)[0],
-            in_shardings=(repl, batch), out_shardings=batch)
+            in_shardings=(param_shardings(self.state.d_params), batch),
+            out_shardings=batch)
         if self.models.dnn_apply is not None:
             self._eval_dnn = jax.jit(
                 lambda params, x: self.models.dnn_apply(params, x)[0],
-                in_shardings=(repl, batch), out_shardings=batch)
+                in_shardings=(param_shardings(self.state.dnn_params),
+                              batch),
+                out_shardings=batch)
 
     def load_models(self) -> None:
         """Resume from ``settings.load_model_path`` (reference semantics)."""
         if self.settings.load_model_path:
             self.state = checkpoint.restore_state(
                 self.state, self.settings.load_model_path)
+            # Restored arrays land COMMITTED on one device; the donated
+            # train step's in_shardings cannot reshard committed args
+            # (jit raises), so place with the mesh's shardings here —
+            # replicated on dp, channel-sharded on a 2-D mesh.
+            self.state = self._place_state(self.state)
             self._start_step = int(jax.device_get(self.state.step))
 
     def save_models(self) -> str:

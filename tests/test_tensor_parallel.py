@@ -126,9 +126,11 @@ class TestSettingsLevelTp:
         assert int(jax.device_get(state.step)) == 3
         result = exp.evaluate()
         assert np.isfinite(result["MAE"])
-        # params actually live channel-sharded on the mesh
-        kernel = jax.tree.leaves(state.g_params)[0]
-        assert len(kernel.sharding.device_set) == 8
+        # params actually live CHANNEL-SHARDED (a replicated
+        # NamedSharding would also span 8 devices — check the spec)
+        specs = [leaf.sharding.spec
+                 for leaf in jax.tree.leaves(state.g_params)]
+        assert any(len(s) and s[-1] == MODEL_AXIS for s in specs), specs
 
     def test_first_step_losses_match_dp(self, tmp_path):
         """The tp-wired Experiment's FIRST step reproduces the dp
