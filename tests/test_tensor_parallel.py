@@ -208,3 +208,19 @@ class TestSettingsLevelTp:
         fresh.prepare_for_evaluation(trained.trial_directory)
         got = fresh.evaluate()
         assert got["MAE"] == pytest.approx(want["MAE"], rel=1e-5)
+
+    def test_age_trial_with_tp(self, tmp_path):
+        """The image apps (DCGAN G + conv regressor) run under the
+        Settings-level 2-D mesh too."""
+        from srgan_tpu.apps.age import AgeExperiment
+
+        exp = AgeExperiment(Settings(
+            trial_name="tpage", logs_directory=str(tmp_path / "logs"),
+            batch_size=8, steps_to_run=2, summary_step_period=2,
+            labeled_dataset_size=8, unlabeled_dataset_size=8,
+            validation_dataset_size=4, age_image_size=32,
+            model_base_width=8, latent_dimension=16,
+            model_parallel_devices=2))
+        state = exp.train()
+        assert int(jax.device_get(state.step)) == 2
+        assert np.isfinite(exp.evaluate()["MAE"])
