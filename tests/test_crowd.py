@@ -1441,6 +1441,23 @@ class TestDensitySummaries:
                                    rtol=1e-6)
         assert all(key[2] for key in exp._grid_count_fns)  # maps-only
 
+    def test_only_maps_grid_programs_compiled(self, tmp_path):
+        """Compile-count economy invariant (docs/design.md §7): a
+        default trial (triptychs on) builds ONLY the maps variant of the
+        grid program per model, and evaluate() reuses it — the
+        device-summed counts variant is never constructed."""
+        from srgan_tpu.apps.crowd import CrowdExperiment
+
+        exp = CrowdExperiment(self._settings(tmp_path))
+        exp.train()
+        size = exp.validation_db.image_size
+        assert set(exp._grid_count_fns) == {(size, False, True),
+                                            (size, True, True)}
+        exp.evaluate()
+        exp.evaluate(use_dnn=True)
+        assert set(exp._grid_count_fns) == {(size, False, True),
+                                            (size, True, True)}
+
     def test_triptych_pngs_written(self, tmp_path):
         import glob
         from srgan_tpu.apps.crowd import CrowdExperiment
