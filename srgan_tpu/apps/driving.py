@@ -26,7 +26,7 @@ class DrivingExperiment(Experiment):
 
     def model_setup(self) -> Tuple[ModelBundle, Any, Any, Any]:
         return setup_image_models(
-            self.settings, self.settings.age_image_size,
+            self.settings, self.settings.resolved_driving_image_size,
             channels=3 * self.settings.driving_frame_stack)
 
     def validation_summaries(self, epoch: int, step: int) -> None:

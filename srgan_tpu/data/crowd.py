@@ -374,7 +374,12 @@ class DatabasePreprocessor:
                         f"SRGAN_ALLOW_DOWNLOAD=1 to allow, or download "
                         f"manually and pass the archive/directory path")
                 import urllib.request
-                urllib.request.urlretrieve(raw, target)
+                # Stage + atomic rename (like the unpack step below): an
+                # interrupted download must not leave a partial file the
+                # next run's os.path.exists treats as complete.
+                tmp = target + ".partial"
+                urllib.request.urlretrieve(raw, tmp)
+                os.replace(tmp, target)
             raw = target
         if os.path.isfile(raw):
             if not raw.endswith(self.ARCHIVE_SUFFIXES):
@@ -465,7 +470,14 @@ class DatabasePreprocessor:
             label_type=self.label_type,
             image_ids=(np.asarray(ids, np.int32)
                        if self.mode == "tiles" else None),
-            roi_masks=(np.stack(rois) if rois and any_roi else None))
+            # Emit validity masks whenever ANY pixel is excluded — by a
+            # dataset ROI (any_roi) or by tiles-mode edge padding — so
+            # predicted density over synthetic padding never counts
+            # toward per-image totals; all-ones mask sets are dropped.
+            roi_masks=(np.stack(rois)
+                       if rois and (any_roi or
+                                    any(m.min() == 0 for m in rois))
+                       else None))
         if output_path:
             database.save(output_path)
         return database

@@ -110,7 +110,8 @@ def driving_datasets(settings) -> Tuple[ArrayDataset, ArrayDataset,
     ``.npz`` at ``settings.driving_database_path`` or the synthetic
     generator."""
     path = settings.driving_database_path
-    size = settings.age_image_size  # shared image-size knob for image apps
+    # driving_image_size, falling back to the shared image-size knob
+    size = settings.resolved_driving_image_size
     stack = settings.driving_frame_stack
     if path:
         data = np.load(path)

@@ -38,14 +38,36 @@ def _conv_stage(x: jax.Array, width: int, *, stride: int, dtype,
     return nn.leaky_relu(x, 0.2)
 
 
-def _joint_heads(head_input: jax.Array, trunk: jax.Array, dtype
+def _joint_heads(head_input: jax.Array, trunk: jax.Array, dtype, *,
+                 zero_init: bool = True, density_bias: float = 0.0,
+                 count_bias: float = 0.0
                  ) -> Tuple[Tuple[jax.Array, jax.Array], jax.Array]:
     """The two 1×1-conv heads + globally pooled trunk features shared by
-    every crowd variant (density map, count map, features)."""
-    density = nn.Conv(1, (1, 1), dtype=dtype,
-                      name="density_head")(head_input).squeeze(-1)
-    count = nn.Conv(1, (1, 1), dtype=dtype,
-                    name="count_head")(head_input).squeeze(-1)
+    every crowd variant (density map, count map, features).
+
+    ``zero_init`` zero-initializes the head kernels and sets the biases to
+    the given per-cell targets, so the step-0 prediction is exactly the
+    dataset-mean map/count instead of a random O(channels·cells) sum. The
+    default-init count head at 224px sums ~3k random cells, and the model
+    spends thousands of steps regressing that bias before any fidelity
+    signal is measurable (BASELINE.md "2000 steps is noise" negative);
+    zero-init is the standard counting-network fix. Nothing in the
+    reference's reconstruction (crowd/models.py [H]) specifies head init;
+    the reference default is mirrored by ``Settings.zero_init_heads=False``.
+    The GAN path is unaffected: features (and the gradient penalty, which
+    differentiates the feature-contrasting loss) come from the trunk, not
+    the heads.
+    """
+    kernel_init = (nn.initializers.zeros if zero_init
+                   else nn.linear.default_kernel_init)
+    density = nn.Conv(
+        1, (1, 1), dtype=dtype, kernel_init=kernel_init,
+        bias_init=nn.initializers.constant(density_bias),
+        name="density_head")(head_input).squeeze(-1)
+    count = nn.Conv(
+        1, (1, 1), dtype=dtype, kernel_init=kernel_init,
+        bias_init=nn.initializers.constant(count_bias),
+        name="count_head")(head_input).squeeze(-1)
     features = jnp.mean(trunk, axis=(1, 2))
     return ((density.astype(jnp.float32), count.astype(jnp.float32)),
             features.astype(jnp.float32))
@@ -69,6 +91,12 @@ class JointCNN(nn.Module):
     # reference's D==DNN architecture symmetry; flip per-use in round 2 if
     # the D/DNN symmetry is relaxed.
     use_norm: bool = True
+    # Head init (see _joint_heads): zero kernels + dataset-mean biases so
+    # step-0 predictions match the dataset mean instead of a huge random
+    # summed bias. Biases are per-CELL targets at 1/4 map resolution.
+    zero_init_heads: bool = True
+    density_head_bias: float = 0.0
+    count_head_bias: float = 0.0
 
     @nn.compact
     def __call__(self, patches: jax.Array
@@ -84,7 +112,10 @@ class JointCNN(nn.Module):
         for width in (4 * w, 4 * w):
             x = stage(x, width, stride=1)
         # Heads (1×1 convs → maps at 1/4 input resolution) + [B, 4w] pool.
-        return _joint_heads(x, x, self.dtype)
+        return _joint_heads(x, x, self.dtype,
+                            zero_init=self.zero_init_heads,
+                            density_bias=self.density_head_bias,
+                            count_bias=self.count_head_bias)
 
 
 class JointDCNN(nn.Module):
@@ -101,6 +132,9 @@ class JointDCNN(nn.Module):
     dtype: jnp.dtype = jnp.float32
     norm_impl: str = "xla"
     use_norm: bool = True
+    zero_init_heads: bool = True
+    density_head_bias: float = 0.0
+    count_head_bias: float = 0.0
 
     @nn.compact
     def __call__(self, patches: jax.Array
@@ -116,7 +150,10 @@ class JointDCNN(nn.Module):
         # wider).
         for width in (4 * w, 4 * w, 4 * w, 8 * w):
             x = stage(x, width, stride=1)
-        return _joint_heads(x, x, self.dtype)
+        return _joint_heads(x, x, self.dtype,
+                            zero_init=self.zero_init_heads,
+                            density_bias=self.density_head_bias,
+                            count_bias=self.count_head_bias)
 
 
 class SpatialPyramidCNN(nn.Module):
@@ -133,6 +170,9 @@ class SpatialPyramidCNN(nn.Module):
     dtype: jnp.dtype = jnp.float32
     norm_impl: str = "xla"
     use_norm: bool = True
+    zero_init_heads: bool = True
+    density_head_bias: float = 0.0
+    count_head_bias: float = 0.0
     pyramid_levels: Tuple[int, ...] = (1, 2, 4)
 
     @nn.compact
@@ -162,7 +202,10 @@ class SpatialPyramidCNN(nn.Module):
                             wd // level, axis=2)
             context.append(up)
         fused = jnp.concatenate(context, axis=-1)
-        return _joint_heads(fused, trunk, self.dtype)
+        return _joint_heads(fused, trunk, self.dtype,
+                            zero_init=self.zero_init_heads,
+                            density_bias=self.density_head_bias,
+                            count_bias=self.count_head_bias)
 
 
 CROWD_MODELS = {

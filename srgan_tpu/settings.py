@@ -74,6 +74,12 @@ class Settings:
     weight_decay: float = 0.0  # applied to D/DNN only (SURVEY §3.1 [M])
     adam_b1: float = 0.9
     adam_b2: float = 0.999
+    # Global-norm gradient clipping applied before Adam on every
+    # optimizer (D/G/DNN); 0 disables (the reference clips nothing,
+    # srgan.py prepare_optimizers [H] — this is a stability extension
+    # for the documented diverging-supervised-baseline regime at
+    # lr 1e-4, BASELINE.md round-2/3 crowd seeds).
+    gradient_clip_norm: float = 0.0
 
     # ---------------------------------------------------------------- data
     labeled_dataset_size: int = 50
@@ -149,6 +155,13 @@ class Settings:
     # (deeper trunk), 'pyramid' (spatial-pyramid context heads) — the
     # reference's deeper crowd variants (crowd/models.py [L]).
     crowd_model: str = "jointcnn"
+    # Zero-init the crowd heads' 1×1 kernels and bias them to the
+    # dataset-mean per-cell target (models/crowd.py _joint_heads): the
+    # step-0 prediction is then the dataset mean instead of a random
+    # O(3k-cell) sum the model must spend thousands of steps regressing
+    # (the BASELINE.md "2000 steps is noise" warm-up). False mirrors the
+    # reference's default init (crowd/models.py [H] — init unspecified).
+    zero_init_heads: bool = True
     # Asymmetric baseline (crowd): drop normalization from the supervised
     # DNN only. Measured (docs/design.md §7): the no-norm DNN is far more
     # accurate on synthetic crowd (count MAE 0.39 vs 1.40) and cheaper,
@@ -208,6 +221,16 @@ class Settings:
     # Driving:
     driving_frame_stack: int = 1
     driving_database_path: Optional[str] = None  # .npz; None → synthetic
+    # Frame resolution for the driving app; None falls back to the shared
+    # image-size knob (age_image_size) — kept as the default so existing
+    # trials/checkpoints are unchanged, but a driving user can now tune
+    # resolution without reaching for an age flag (VERDICT r3 weak #7).
+    driving_image_size: Optional[int] = None
+
+    @property
+    def resolved_driving_image_size(self) -> int:
+        return (self.driving_image_size if self.driving_image_size
+                is not None else self.age_image_size)
 
     def copy(self, **overrides) -> "Settings":
         return dataclasses.replace(self, **overrides)

@@ -71,9 +71,16 @@ def make_optimizer(settings: Settings, weight_decay: bool = False,
     """
     lr = settings.learning_rate if learning_rate is None else learning_rate
     if weight_decay and settings.weight_decay > 0.0:
-        return optax.adamw(lr, b1=settings.adam_b1, b2=settings.adam_b2,
-                           weight_decay=settings.weight_decay)
-    return optax.adam(lr, b1=settings.adam_b1, b2=settings.adam_b2)
+        tx = optax.adamw(lr, b1=settings.adam_b1, b2=settings.adam_b2,
+                         weight_decay=settings.weight_decay)
+    else:
+        tx = optax.adam(lr, b1=settings.adam_b1, b2=settings.adam_b2)
+    if settings.gradient_clip_norm > 0.0:
+        # Clip BEFORE Adam (standard order); stabilizes the documented
+        # diverging supervised-crowd regime at lr 1e-4 (BASELINE.md).
+        tx = optax.chain(
+            optax.clip_by_global_norm(settings.gradient_clip_norm), tx)
+    return tx
 
 
 def init_train_state(settings: Settings, d_params: Params, g_params: Params,
