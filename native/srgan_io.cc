@@ -127,16 +127,41 @@ void gather_one(const Reader& r, int32_t idx, int32_t oy, int32_t ox,
   }
 }
 
+// Raw uint8 crop gather: no scale/shift, no float expansion — row
+// memcpys (or per-pixel copies under horizontal flip). This is the
+// transfer-lean path for the remote-device host tier: streaming crops
+// as u8 and normalizing in the device graph cuts host->device bytes 4x
+// vs float32 (the tier is input-bound; BASELINE.md round 3).
+void gather_one_u8(const Reader& r, int32_t idx, int32_t oy, int32_t ox,
+                   int32_t flip, int p, uint8_t* out) {
+  const int64_t c = r.c(), w = r.w();
+  const int64_t img_stride = r.h() * w * c;
+  const int64_t row_stride = w * c;
+  for (int y = 0; y < p; ++y) {
+    const uint8_t* row8 =
+        r.data + idx * img_stride + (oy + y) * row_stride + ox * c;
+    uint8_t* out_row = out + static_cast<int64_t>(y) * p * c;
+    if (!flip) {
+      std::memcpy(out_row, row8, static_cast<size_t>(p) * c);
+    } else {
+      for (int x = 0; x < p; ++x)
+        std::memcpy(out_row + static_cast<int64_t>(x) * c,
+                    row8 + static_cast<int64_t>(p - 1 - x) * c, c);
+    }
+  }
+}
+
 struct Prefetcher {
   const Reader* reader;
   int batch, patch;
   float scale, shift;
+  bool out_u8 = false;  // emit raw uint8 crops (u8 readers only)
   size_t queue_depth;
   std::vector<std::thread> workers;
   std::mutex mu;
   std::condition_variable cv_push, cv_pop;
   struct Item {
-    std::vector<float> data;
+    std::vector<uint8_t> data;  // f32 batches stored as raw bytes
     std::vector<int32_t> indices;
     std::vector<int32_t> offsets;  // [B, 2] (oy, ox)
     std::vector<int32_t> flips;
@@ -144,6 +169,11 @@ struct Prefetcher {
   std::deque<Item> queue;
   std::atomic<bool> stop{false};
   std::atomic<uint64_t> seq{0};
+
+  size_t item_bytes() const {
+    return static_cast<size_t>(batch) * patch * patch * reader->c() *
+           (out_u8 ? 1 : sizeof(float));
+  }
 
   void worker(uint64_t seed) {
     std::mt19937_64 rng(seed);
@@ -153,7 +183,7 @@ struct Prefetcher {
     const int64_t c = reader->c();
     while (!stop.load()) {
       Item item;
-      item.data.resize(static_cast<size_t>(batch) * patch * patch * c);
+      item.data.resize(item_bytes());
       item.indices.resize(batch);
       item.offsets.resize(2 * batch);
       item.flips.resize(batch);
@@ -166,9 +196,14 @@ struct Prefetcher {
         item.offsets[2 * b] = oy;
         item.offsets[2 * b + 1] = ox;
         item.flips[b] = flip;
-        gather_one(*reader, idx, oy, ox, flip, patch, scale, shift,
-                   item.data.data() +
-                       static_cast<size_t>(b) * patch * patch * c);
+        const size_t el = static_cast<size_t>(b) * patch * patch * c;
+        if (out_u8) {
+          gather_one_u8(*reader, idx, oy, ox, flip, patch,
+                        item.data.data() + el);
+        } else {
+          gather_one(*reader, idx, oy, ox, flip, patch, scale, shift,
+                     reinterpret_cast<float*>(item.data.data()) + el);
+        }
       }
       std::unique_lock<std::mutex> lock(mu);
       cv_push.wait(lock, [&] {
@@ -259,11 +294,31 @@ void* sg_prefetcher_create(void* reader_handle, int batch, int patch,
   return pf;
 }
 
+// uint8-output prefetcher (u8 readers only): batches come out as raw
+// [B, P, P, C] uint8 crops — 4x fewer bytes over the host->device
+// boundary; normalization happens in the device graph.
+void* sg_prefetcher_create_u8(void* reader_handle, int batch, int patch,
+                              int queue_depth, int num_threads,
+                              uint64_t seed) {
+  auto* r = static_cast<Reader*>(reader_handle);
+  if (r->is_f32) return nullptr;  // raw-byte output needs a u8 store
+  auto* pf = static_cast<Prefetcher*>(sg_prefetcher_create(
+      reader_handle, batch, patch, 1.0f, 0.0f, queue_depth, 0, seed));
+  if (!pf) return nullptr;
+  // Workers start AFTER the flag flips (created with 0 threads above)
+  // so no batch is ever gathered with the wrong output dtype.
+  pf->out_u8 = true;
+  for (int t = 0; t < num_threads; ++t)
+    pf->workers.emplace_back(&Prefetcher::worker, pf,
+                             seed * 2654435761u + t);
+  return pf;
+}
+
 // Blocks until a batch is ready; copies into caller buffers.
 // out: [B, P, P, C] float32; indices_out/offsets_out/flips_out optional
 // ([B], [B,2], [B] int32) — exposed so a caller can gather the matching
 // label crops (e.g. density maps) with identical augmentation.
-int sg_prefetcher_next(void* pf_handle, float* out, int32_t* indices_out,
+int sg_prefetcher_next(void* pf_handle, void* out, int32_t* indices_out,
                        int32_t* offsets_out, int32_t* flips_out) {
   auto* pf = static_cast<Prefetcher*>(pf_handle);
   Prefetcher::Item item;
@@ -276,7 +331,10 @@ int sg_prefetcher_next(void* pf_handle, float* out, int32_t* indices_out,
     pf->queue.pop_front();
     pf->cv_push.notify_one();
   }
-  std::memcpy(out, item.data.data(), item.data.size() * sizeof(float));
+  // item.data holds raw bytes of the configured output dtype (f32 or
+  // u8); the caller's buffer matches the dtype it created the
+  // prefetcher with.
+  std::memcpy(out, item.data.data(), item.data.size());
   if (indices_out)
     std::memcpy(indices_out, item.indices.data(),
                 item.indices.size() * sizeof(int32_t));

@@ -42,6 +42,14 @@ def write_generated_sample_grid(experiment, epoch: int, step: int,
 def setup_image_models(settings, image_size: int, channels: int = 3
                        ) -> Tuple[ModelBundle, Any, Any, Any]:
     """(models, d_params, g_params, dnn_params) for a conv-regression app."""
+    if settings.image_normalization != "[-1,1]":
+        # The age/driving npz stores are preprocessed to [-1,1] f32 (no
+        # raw pixels to re-normalize); 'meanstd' is a crowd-app feature
+        # (SURVEY §2 6c). Fail loudly rather than silently ignoring.
+        raise ValueError(
+            f"image_normalization={settings.image_normalization!r} is "
+            f"supported by the crowd app only; age/driving databases "
+            f"are stored [-1,1]-normalized")
     dtype = jnp.dtype(settings.compute_dtype)
     width = settings.model_base_width
     impl = settings.norm_impl

@@ -240,11 +240,9 @@ class CrowdExperiment(Experiment):
             "validation_images": put(self.validation_db.images),
         }
         if self.settings.crowd_host_pipeline:
-            if self.settings.crowd_label_dtype != "float32":
-                raise ValueError(
-                    "crowd_label_dtype only applies to the HBM-resident "
-                    "label maps; the host C++ tier streams f32 batches "
-                    "(set crowd_label_dtype='float32')")
+            # Label dtype validated eagerly (the host tier casts label
+            # crops to it before transfer — _host_epoch_iterators).
+            _ = self._label_dtype
             return
         self._check_hbm_budget()
         if self._shard_dataset:
@@ -342,16 +340,52 @@ class CrowdExperiment(Experiment):
         unlabeled_reader = NativeDatasetReader(paths["unlabeled"])
         # 2*start keeps the two streams' seeds disjoint (11+2k odd,
         # 12+2k even) while fast-forwarding resumed runs to fresh orders.
+        # Image crops stream as RAW uint8 (the store is u8) and are
+        # normalized in the device graph (_prepare_host_pipeline's step
+        # wrapper): the tier is input-bound (BASELINE.md round 3 —
+        # 40.5 img/s, ~168 MB of f32 per flagship step over the
+        # 1-core-host->tunnel->device boundary), so streaming 4x fewer
+        # bytes is the first-order lever (VERDICT r3 #3).
         self._labeled_prefetcher = NativePrefetcher(
             labeled_reader, settings.batch_size,
-            settings.image_patch_size, scale=2.0 / 255.0, shift=-1.0,
+            settings.image_patch_size, output_dtype="uint8",
             num_threads=max(1, settings.number_of_data_workers),
             seed=settings.seed + 11 + 2 * self._start_step)
         self._unlabeled_prefetcher = NativePrefetcher(
             unlabeled_reader, settings.batch_size,
-            settings.image_patch_size, scale=2.0 / 255.0, shift=-1.0,
+            settings.image_patch_size, output_dtype="uint8",
             num_threads=max(1, settings.number_of_data_workers),
             seed=settings.seed + 12 + 2 * self._start_step)
+
+    def _wrap_host_train_step(self) -> None:
+        """Re-jit the train step with device-side input normalization.
+
+        The host tier streams RAW uint8 image crops (and label crops at
+        ``crowd_label_dtype``); this wrapper upcasts + normalizes them
+        INSIDE the jitted step, so the expansion to float32 happens in
+        HBM rather than on the host side of the transfer. Numerics are
+        identical to the f32-streaming form (u8 -> f32 is exact; the
+        affine matches the prefetcher's old scale/shift).
+        """
+        raw = self._raw_step_fn
+
+        def norm(u8):
+            return u8.astype(jnp.float32) * (2.0 / 255.0) - 1.0
+
+        if self.settings.dnn_only:
+            def host_step(state, patches_u8, labels):
+                return raw(state, norm(patches_u8),
+                           labels.astype(jnp.float32))
+
+            self._train_step = self._jit_step(host_step, num_batch_args=2,
+                                              has_key=False)
+        else:
+            def host_step(state, patches_u8, labels, upatches_u8, key):
+                return raw(state, norm(patches_u8),
+                           labels.astype(jnp.float32), norm(upatches_u8),
+                           key)
+
+            self._train_step = self._jit_step(host_step, num_batch_args=3)
 
     # -------------------------------------------------------------- models
     def model_setup(self) -> Tuple[ModelBundle, Any, Any, Any]:
@@ -394,6 +428,7 @@ class CrowdExperiment(Experiment):
                             **head_init)
         dnn_model = model_cls(base_width=w, dtype=dtype, norm_impl=impl,
                               use_norm=settings.dnn_use_norm, **head_init)
+        input_transform = self._input_normalization_transform()
         g_model = CrowdDCGenerator(
             image_size=p, base_width=w,
             latent_dimension=settings.latent_dimension, dtype=dtype,
@@ -405,9 +440,48 @@ class CrowdExperiment(Experiment):
         d_params = d_model.init(k_d, patch)
         g_params = g_model.init(k_g, z)
         dnn_params = dnn_model.init(k_dnn, patch)
-        models = ModelBundle(d_apply=d_model.apply, g_apply=g_model.apply,
-                             dnn_apply=dnn_model.apply)
+        d_apply, dnn_apply = d_model.apply, dnn_model.apply
+        if input_transform is not None:
+            a, b = input_transform
+
+            def wrap(apply):
+                return lambda params, x: apply(params, x * a + b)
+
+            d_apply, dnn_apply = wrap(d_apply), wrap(dnn_apply)
+        models = ModelBundle(d_apply=d_apply, g_apply=g_model.apply,
+                             dnn_apply=dnn_apply)
         return models, d_params, g_params, dnn_params
+
+    def _input_normalization_transform(self):
+        """Per-channel affine ``(a, b)`` applied to every D/DNN image
+        input, or None for the default '[-1,1]' space.
+
+        Reference: crowd data transforms "mean/std **or** [-1,1]
+        normalization" (SURVEY §2 6c [H]; which one is provisional —
+        empty mount). The framework's image space stays G's native
+        [-1,1] everywhere (patch kernels, host tier, interpolates,
+        sample grids); 'meanstd' re-maps that space to
+        ``(x/255 - mean_c)/std_c`` INSIDE the D/DNN apply, so all input
+        tiers and the G→D fake stream share one transform and the
+        gradient penalty differentiates through it like the reference's
+        loader-normalized inputs. With pixels p in [0,1] and x = 2p-1:
+        ``(p - m)/s = x * (0.5/s) + (0.5 - m)/s``.
+        """
+        mode = self.settings.image_normalization
+        if mode == "[-1,1]":
+            return None
+        if mode != "meanstd":
+            raise ValueError(
+                f"unknown image_normalization {mode!r}; choose "
+                f"'[-1,1]' or 'meanstd'")
+        if self.labeled_db is None:
+            raise ValueError(
+                "image_normalization='meanstd' needs the dataset loaded "
+                "before model_setup (run dataset_setup first)")
+        mean, std = self.labeled_db.image_statistics()
+        a = jnp.asarray(0.5 / std, jnp.float32)
+        b = jnp.asarray((0.5 - mean) / std, jnp.float32)
+        return a, b
 
     # --------------------------------------------------------------- loss
     def labeled_loss_fn(self):
@@ -457,6 +531,7 @@ class CrowdExperiment(Experiment):
         self._upload_databases()
         if self.settings.crowd_host_pipeline:
             self._prepare_host_pipeline()
+            self._wrap_host_train_step()
         p = self.settings.image_patch_size
         windows = self._rescale_windows
         if windows:
@@ -801,6 +876,16 @@ class CrowdExperiment(Experiment):
         steps = self.steps_per_epoch()
         sharding = batch_sharding(self.mesh)
 
+        # bf16 label crops halve the label transfer (same rationale as
+        # the HBM path's crowd_label_dtype; the step wrapper upcasts to
+        # f32 on device). numpy needs ml_dtypes (jax's dependency) for
+        # the bfloat16 host cast.
+        if self._label_dtype == jnp.bfloat16:
+            import ml_dtypes
+            label_np_dtype = ml_dtypes.bfloat16
+        else:
+            label_np_dtype = np.float32
+
         def host_batches():
             for _ in range(steps):
                 patches, idx, offs, flips = \
@@ -809,6 +894,8 @@ class CrowdExperiment(Experiment):
                     idx, offs, flips, self.settings.image_patch_size)
                 if labels.shape[-1] == 1:
                     labels = labels[..., 0]
+                if label_np_dtype is not np.float32:
+                    labels = labels.astype(label_np_dtype)
                 upatches, _ = self._unlabeled_prefetcher.next()
                 yield patches, labels, upatches
 

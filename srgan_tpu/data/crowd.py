@@ -189,6 +189,12 @@ class CrowdDatabase:
     # per-scene ROI polygons [L]): evaluation counts predicted density
     # only where mask == 1. None → whole image.
     roi_masks: Optional[np.ndarray] = None
+    # Per-channel pixel statistics in [0,1] scale ([3] float32), computed
+    # at preprocess time for Settings.image_normalization='meanstd'
+    # (reference: "mean/std or [-1,1] normalization", SURVEY §2 6c [H]).
+    # None (older npz files) → image_statistics() computes them on load.
+    image_mean: Optional[np.ndarray] = None
+    image_std: Optional[np.ndarray] = None
 
     def __post_init__(self):
         assert self.images.ndim == 4 and self.images.shape[3] == 3
@@ -211,6 +217,20 @@ class CrowdDatabase:
         if self.image_ids is None:
             return len(self.images)
         return int(self.image_ids.max()) + 1 if len(self.image_ids) else 0
+
+    def image_statistics(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-channel (mean, std) of the pixels in [0,1] scale.
+
+        Stored statistics (preprocess-time) win; otherwise computed here
+        once in float64 over the u8 images and cached. std is floored at
+        1e-3 so a constant channel can never divide by ~0.
+        """
+        if self.image_mean is None or self.image_std is None:
+            pixels = self.images.reshape(-1, 3).astype(np.float64) / 255.0
+            self.image_mean = pixels.mean(axis=0).astype(np.float32)
+            self.image_std = np.maximum(
+                pixels.std(axis=0), 1e-3).astype(np.float32)
+        return self.image_mean, self.image_std
 
     def roi_head_counts(self) -> np.ndarray:
         """Per-example ground-truth counts under the ROI convention.
@@ -253,6 +273,9 @@ class CrowdDatabase:
             arrays["image_ids"] = self.image_ids
         if self.roi_masks is not None:
             arrays["roi_masks"] = self.roi_masks
+        if self.image_mean is not None and self.image_std is not None:
+            arrays["image_mean"] = self.image_mean
+            arrays["image_std"] = self.image_std
         np.savez_compressed(path, **arrays)
 
     @classmethod
@@ -284,7 +307,11 @@ class CrowdDatabase:
                    image_ids=(data["image_ids"]
                               if "image_ids" in data else None),
                    roi_masks=(data["roi_masks"]
-                              if "roi_masks" in data else None))
+                              if "roi_masks" in data else None),
+                   image_mean=(data["image_mean"]
+                               if "image_mean" in data else None),
+                   image_std=(data["image_std"]
+                              if "image_std" in data else None))
 
 
 # --------------------------------------------------------------------------
@@ -478,6 +505,11 @@ class DatabasePreprocessor:
                        if rois and (any_roi or
                                     any(m.min() == 0 for m in rois))
                        else None))
+        # Per-database pixel statistics for the 'meanstd' normalization
+        # variant (SURVEY §2 6c [H]), computed once here at preprocess
+        # time and persisted with the arrays.
+        if len(database):
+            database.image_statistics()
         if output_path:
             database.save(output_path)
         return database

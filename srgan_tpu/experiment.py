@@ -152,6 +152,10 @@ class Experiment:
         # Unjitted step: building block for multi-step dispatch chunks
         # (apps that support Settings.steps_per_dispatch scan over it).
         self._raw_step_fn = step_fn
+        # Jit builder, kept for subclasses that re-wrap the step (the
+        # crowd host tier prepends device-side normalization of u8
+        # batches) with the same mesh/donation policy.
+        self._jit_step = jit_step
         repl = pmesh.replicated_sharding(self.mesh)
         batch = pmesh.batch_sharding(self.mesh)
         if pmesh.is_model_parallel(self.mesh):

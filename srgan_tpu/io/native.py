@@ -63,9 +63,13 @@ def _load() -> ctypes.CDLL:
         lib.sg_prefetcher_create.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_float,
             ctypes.c_float, ctypes.c_int, ctypes.c_int, ctypes.c_uint64]
+        lib.sg_prefetcher_create_u8.restype = ctypes.c_void_p
+        lib.sg_prefetcher_create_u8.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_uint64]
         lib.sg_prefetcher_next.restype = ctypes.c_int
         lib.sg_prefetcher_next.argtypes = [
-            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_void_p, ctypes.c_void_p,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32)]
         lib.sg_prefetcher_destroy.argtypes = [ctypes.c_void_p]
@@ -139,21 +143,41 @@ class NativePrefetcher:
     def __init__(self, reader: NativeDatasetReader, batch_size: int,
                  patch_size: int, scale: float = 1.0, shift: float = 0.0,
                  queue_depth: int = 4, num_threads: int = 2,
-                 seed: int = 0):
+                 seed: int = 0, output_dtype: str = "float32"):
         self._lib = _load()
         self._reader = reader
         self.batch_size = batch_size
         self.patch_size = patch_size
         self.channels = reader.shape[3]
-        self._handle = self._lib.sg_prefetcher_create(
-            reader._handle, batch_size, patch_size, scale, shift,
-            queue_depth, num_threads, seed)
+        if output_dtype not in ("float32", "uint8"):
+            raise ValueError(f"unknown output_dtype {output_dtype!r}; "
+                             f"choose float32 or uint8")
+        self.output_dtype = np.dtype(output_dtype)
+        if output_dtype == "uint8":
+            # Raw-byte crops (u8 store only, no scale/shift): 4x fewer
+            # bytes over the host->device boundary; the caller
+            # normalizes in the device graph.
+            if reader.dtype != np.uint8:
+                raise ValueError("output_dtype='uint8' requires a uint8 "
+                                 "dataset")
+            if scale != 1.0 or shift != 0.0:
+                raise ValueError("scale/shift are float32-output "
+                                 "features; uint8 output streams raw "
+                                 "bytes (normalize on device)")
+            self._handle = self._lib.sg_prefetcher_create_u8(
+                reader._handle, batch_size, patch_size, queue_depth,
+                num_threads, seed)
+        else:
+            self._handle = self._lib.sg_prefetcher_create(
+                reader._handle, batch_size, patch_size, scale, shift,
+                queue_depth, num_threads, seed)
         if not self._handle:
             raise ValueError("prefetcher creation failed (patch larger "
                              "than image, or empty dataset)")
 
     def next(self) -> Tuple[np.ndarray, np.ndarray]:
-        """Blocking: → (batch [B, P, P, C] float32, source indices [B])."""
+        """Blocking: → (batch [B, P, P, C] of ``output_dtype``, source
+        indices [B])."""
         batch, idx, _, _ = self.next_with_params()
         return batch, idx
 
@@ -166,13 +190,12 @@ class NativePrefetcher:
         :meth:`NativeDatasetReader.gather_crops`.
         """
         out = np.empty((self.batch_size, self.patch_size, self.patch_size,
-                        self.channels), np.float32)
+                        self.channels), self.output_dtype)
         idx = np.empty((self.batch_size,), np.int32)
         offs = np.empty((self.batch_size, 2), np.int32)
         flips = np.empty((self.batch_size,), np.int32)
         ok = self._lib.sg_prefetcher_next(
-            self._handle,
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self._handle, out.ctypes.data_as(ctypes.c_void_p),
             _as_i32_ptr(idx), _as_i32_ptr(offs), _as_i32_ptr(flips))
         if not ok:
             raise StopIteration

@@ -183,6 +183,20 @@ class Settings:
     crowd_sigma: float = 8.0
     density_loss_multiplier: float = 1e0
     count_loss_multiplier: float = 1e0
+    # Image normalization fed to D/DNN (reference: crowd data transforms
+    # "mean/std or [-1,1] normalization", SURVEY §2 6c [H] — which one
+    # the reference used is provisional; the empty mount can't settle
+    # it, so BOTH are implemented and switchable):
+    #   '[-1,1]'  — x/127.5 - 1 (the round-1..3 behavior; G's native
+    #               tanh range, zero extra cost in the patch kernel).
+    #   'meanstd' — (x/255 - mean_c)/std_c with per-DATABASE per-channel
+    #               statistics computed at preprocess time (stored in
+    #               the npz; computed on load for older files). Applied
+    #               in the device graph as a per-channel affine wrapper
+    #               on the D/DNN inputs, so every input tier (HBM
+    #               Pallas, host C++, grid eval) and the G→D fake
+    #               stream share one transform. Crowd app only.
+    image_normalization: str = "[-1,1]"
     # HBM dtype for the label maps (density [+ aux]) of the HBM-resident
     # training splits. The f32 label maps are the LARGEST per-pixel term
     # of the database (4 B/px vs 3 B/px for the u8 RGB images);
@@ -192,8 +206,10 @@ class Settings:
     # densities never flush to zero (unlike f16); the ~0.4%-relative
     # mantissa rounding is unbiased and cancels in the count integrals
     # (patch mass preserved to <0.1%, tested). Patches are extracted to
-    # f32 regardless (the Pallas kernel upcasts on the VPU). HBM path
-    # only — the host C++ tier streams f32 from the host.
+    # f32 regardless (the Pallas kernel upcasts on the VPU). On the host
+    # C++ tier the label CROPS are cast to this dtype before the
+    # host->device transfer (halving the label bytes of an input-bound
+    # tier) and upcast to f32 inside the jitted step.
     crowd_label_dtype: str = "float32"  # or "bfloat16"
     # Validation density-map image summaries: for the first K validation
     # images, write an (input | GT density | predicted density) triptych

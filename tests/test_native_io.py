@@ -160,3 +160,36 @@ class TestGatherShapeFuzz:
         np.testing.assert_allclose(
             got, want, rtol=1e-6, atol=1e-6,
             err_msg=f"{'u8' if u8 else 'f32'} {n}x{h}x{w}x{c} p={p}")
+
+
+class TestUint8Prefetcher:
+    """uint8-output prefetcher (VERDICT r3 #3): raw crops, no float
+    expansion — the 4x transfer cut for the remote-device host tier."""
+
+    def test_u8_batches_match_reference_crops(self, tmp_path):
+        rng = np.random.default_rng(7)
+        images = rng.integers(0, 255, (4, 32, 32, 3)).astype(np.uint8)
+        path = _write_npy(tmp_path, images)
+        with NativeDatasetReader(path) as reader:
+            with NativePrefetcher(reader, batch_size=5, patch_size=8,
+                                  output_dtype="uint8") as pf:
+                batch, idx, offs, flips = pf.next_with_params()
+        assert batch.dtype == np.uint8
+        want = extract_patches_reference(
+            images.astype(np.float32), offs, flips, 8, indices=idx)
+        np.testing.assert_array_equal(batch.astype(np.float32), want)
+
+    def test_u8_requires_u8_store(self, tmp_path):
+        arr = np.zeros((2, 16, 16, 3), np.float32)
+        with NativeDatasetReader(_write_npy(tmp_path, arr)) as reader:
+            with pytest.raises(ValueError, match="uint8"):
+                NativePrefetcher(reader, batch_size=2, patch_size=8,
+                                 output_dtype="uint8")
+
+    def test_u8_rejects_scale_shift(self, tmp_path):
+        arr = np.zeros((2, 16, 16, 3), np.uint8)
+        with NativeDatasetReader(_write_npy(tmp_path, arr)) as reader:
+            with pytest.raises(ValueError, match="scale/shift"):
+                NativePrefetcher(reader, batch_size=2, patch_size=8,
+                                 scale=2 / 255.0, shift=-1.0,
+                                 output_dtype="uint8")
