@@ -57,23 +57,52 @@ def generate_knn_map(head_positions: np.ndarray, height: int, width: int,
     the distance to the image diagonal (max possible), matching the
     "no crowd anywhere" reading.
 
-    Distances are computed in head-chunks with a running top-k: peak
-    memory is [H, W, k + chunk] instead of [H, W, M] (UCF-QNRF images
-    carry up to ~12k heads — the naive form needs gigabytes per map).
-    ``origin`` offsets the pixel grid, so a tile of a larger image can
-    be evaluated against ALL of the image's heads in the global frame
-    (native-resolution tiled preprocessing).
+    Computed with a scipy cKDTree (O(pixels · k·log heads)): the
+    head-chunked brute force this replaces measured ~27 min per
+    12k-head UCF-QNRF image at native tile resolution
+    (tools/ucf_qnrf_rehearsal.py found it; the tree form is ~100x
+    faster at that scale and bit-compatible within f32 rounding — the
+    chunked golden form survives as ``_generate_knn_map_chunked`` and a
+    parity test). ``origin`` offsets the pixel grid, so a tile of a
+    larger image can be evaluated against ALL of the image's heads in
+    the global frame (native-resolution tiled preprocessing).
     """
+    del _chunk  # golden-form parameter; kept for signature compatibility
+    heads = np.asarray(head_positions, np.float64).reshape(-1, 2)
+    if len(heads) == 0:
+        # "No crowd anywhere" → the maximum possible distance. For a TILE
+        # of a larger canvas the tile diagonal would UNDERSTATE it (a
+        # zero-head image must not read as closer crowd than a far-away
+        # one), so tile callers pass the source-canvas diagonal.
+        diag = np.float32(empty_value if empty_value is not None
+                          else np.hypot(height, width))
+        return np.full((height, width), diag, np.float32)
+    from scipy.spatial import cKDTree
+
+    oy, ox = origin
+    yy, xx = np.mgrid[0:height, 0:width].astype(np.float64)
+    points = np.stack([yy.ravel() + oy, xx.ravel() + ox], axis=-1)
+    k = min(k, len(heads))
+    distances, _ = cKDTree(heads).query(points, k=k)
+    if k > 1:
+        distances = distances.mean(axis=-1)
+    return distances.reshape(height, width).astype(np.float32)
+
+
+def _generate_knn_map_chunked(head_positions: np.ndarray, height: int,
+                              width: int, k: int = 1,
+                              origin: Tuple[float, float] = (0.0, 0.0),
+                              empty_value: Optional[float] = None,
+                              _chunk: int = 64) -> np.ndarray:
+    """Brute-force golden form of :func:`generate_knn_map` (head-chunked
+    running top-k, [H, W, k + chunk] peak memory). Kept as the
+    independent implementation the tree form is parity-tested against."""
     heads = np.asarray(head_positions, np.float32).reshape(-1, 2)
     oy, ox = origin
     yy, xx = np.mgrid[0:height, 0:width].astype(np.float32)
     yy += np.float32(oy)
     xx += np.float32(ox)
     if len(heads) == 0:
-        # "No crowd anywhere" → the maximum possible distance. For a TILE
-        # of a larger canvas the tile diagonal would UNDERSTATE it (a
-        # zero-head image must not read as closer crowd than a far-away
-        # one), so tile callers pass the source-canvas diagonal.
         diag = np.float32(empty_value if empty_value is not None
                           else np.hypot(height, width))
         return np.full((height, width), diag, np.float32)

@@ -1803,3 +1803,24 @@ class TestImageNormalization:
         exp.dataset_setup()
         with pytest.raises(ValueError, match="crowd app only"):
             exp.model_setup()
+
+
+@pytest.mark.parametrize("config", [
+    dict(n=0, k=1), dict(n=1, k=1), dict(n=40, k=3),
+    dict(n=200, k=1, origin=(64.0, 128.0)),
+    dict(n=7, k=12),  # k > heads clamps
+])
+def test_knn_tree_matches_chunked_golden(config):
+    """generate_knn_map's cKDTree form (the UCF-QNRF-scale fix measured
+    ~100x faster by tools/ucf_qnrf_rehearsal.py) must match the
+    brute-force chunked golden implementation."""
+    from srgan_tpu.data.crowd import (_generate_knn_map_chunked,
+                                      generate_knn_map)
+
+    rng = np.random.default_rng(config["n"])
+    heads = rng.uniform(-20, 150, (config["n"], 2)).astype(np.float32)
+    kw = dict(k=config["k"], origin=config.get("origin", (0.0, 0.0)),
+              empty_value=333.0)
+    got = generate_knn_map(heads, 48, 64, **kw)
+    want = _generate_knn_map_chunked(heads, 48, 64, **kw)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-4)

@@ -76,7 +76,8 @@ def preprocess_all(raw_root: str, out_root: str, mode: str,
 
 
 def run_arm(db_path: str, steps: int, seed: int, batch: int,
-            rescale: tuple = (), ul: float = 1.0) -> dict:
+            rescale: tuple = (), ul: float = 1.0,
+            clip: float = 0.0) -> dict:
     from srgan_tpu.apps.crowd import CrowdExperiment
     from srgan_tpu.settings import Settings
 
@@ -92,6 +93,7 @@ def run_arm(db_path: str, steps: int, seed: int, batch: int,
         validation_step_period=max(1, steps // 2),
         crowd_database_path=db_path, seed=seed,
         unlabeled_loss_multiplier=ul,
+        gradient_clip_norm=clip,
         crowd_rescale_factors=tuple(rescale))
     exp = CrowdExperiment(settings)
     exp.train()
@@ -114,6 +116,10 @@ def main() -> None:
     parser.add_argument("--ul", type=float, default=1.0,
                         help="unlabeled_loss_multiplier (0.1 is the "
                              "measured win-regime value, BASELINE.md)")
+    parser.add_argument("--gradient-clip", type=float, default=0.0,
+                        help="Settings.gradient_clip_norm for every arm "
+                             "(stabilizes the documented lr-1e-4 "
+                             "supervised divergence; 0 = off)")
     args = parser.parse_args()
 
     import jax
@@ -143,7 +149,7 @@ def main() -> None:
         maes = []
         for seed in args.seeds:
             r = run_arm(dbs[mode], args.steps, seed, args.batch, rescale,
-                        ul=args.ul)
+                        ul=args.ul, clip=args.gradient_clip)
             print(json.dumps({"arm": arm, "seed": seed, **r}), flush=True)
             maes.append(r)
         summary[arm] = {
