@@ -299,8 +299,8 @@ class CrowdExperiment(Experiment):
         import warnings
         warnings.warn(
             "crowd_host_pipeline streams batches from the host: measured "
-            "40.5 img/s vs 795.9 on the HBM-resident path at the "
-            "flagship config (BASELINE.md round 3) — input-bound on a "
+            "73.8 img/s vs 803.3 on the HBM-resident path at the "
+            "flagship config (BASELINE.md round 4) — input-bound on a "
             "1-core host. Prefer crowd_shard_dataset=True (HBM capacity "
             "scales with mesh size at full speed); use the host tier "
             "only for databases larger than HBM x mesh size.",
@@ -342,10 +342,13 @@ class CrowdExperiment(Experiment):
         # 12+2k even) while fast-forwarding resumed runs to fresh orders.
         # Image crops stream as RAW uint8 (the store is u8) and are
         # normalized in the device graph (_prepare_host_pipeline's step
-        # wrapper): the tier is input-bound (BASELINE.md round 3 —
-        # 40.5 img/s, ~168 MB of f32 per flagship step over the
-        # 1-core-host->tunnel->device boundary), so streaming 4x fewer
-        # bytes is the first-order lever (VERDICT r3 #3).
+        # wrapper): the round-3 f32 tier was input-bound (40.5 img/s,
+        # ~168 MB of f32 per flagship step over the
+        # 1-core-host->tunnel->device boundary); streaming 4x fewer
+        # bytes measured 1.82x (73.8 img/s, BASELINE.md round 4 — the
+        # residual bound is the host-side gather itself). bf16 LABEL
+        # crops measured SLOWER here (57.4): numpy's bf16 cast on the
+        # 1-core host costs more than the halved transfer saves.
         self._labeled_prefetcher = NativePrefetcher(
             labeled_reader, settings.batch_size,
             settings.image_patch_size, output_dtype="uint8",
