@@ -226,10 +226,13 @@ class Experiment:
         if self.settings.compilation_cache_dir:
             requested = os.path.expanduser(
                 self.settings.compilation_cache_dir)
-            if _process_cache_dir is None:
+            if _process_cache_dir is None or _process_cache_dir == requested:
+                # Re-applying the bound dir is a no-op for JAX but keeps
+                # the config correct if something else reset it (e.g. a
+                # test or an embedding application toggling jax.config).
                 jax.config.update("jax_compilation_cache_dir", requested)
                 _process_cache_dir = requested
-            elif _process_cache_dir != requested:
+            else:
                 import warnings
                 warnings.warn(
                     f"compilation_cache_dir={requested!r} ignored: JAX's "
