@@ -1,0 +1,109 @@
+"""Re-measure the crowd few-label GAN-vs-DNN comparison (round 4).
+
+BASELINE.md "Semi-supervised win" records a round-2 result at this
+config: 4 labeled + 64 unlabeled synthetic crowd images, 64px patches,
+JointCNN-32, 3000 steps, ul 0.1 / fl 1 / gp 10 / lr 1e-4, bf16 — GAN
+beat the DNN on 4/6 seeds, largely because the supervised baseline
+DIVERGED past the naive-mean predictor on 3/6 seeds. Round 4 changed
+that landscape: `zero_init_heads` (default on) starts both models AT
+the naive predictor, and `gradient_clip_norm` is available. This tool
+re-runs the comparison under the current defaults so the recorded
+story matches what the shipped framework actually does.
+
+Usage:  python tools/crowd_win.py [--steps N] [--seeds a b ...]
+                                  [--gradient-clip C] [--ul U]
+Prints one JSON line per seed and a summary line with per-arm means,
+win counts, and the naive labeled-mean predictor MAE for scale.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def naive_mae(settings) -> float:
+    """MAE of predicting the labeled-set mean count on validation."""
+    from srgan_tpu.data.crowd import synthetic_crowd_database
+
+    make = lambda n, s: synthetic_crowd_database(
+        n, height=settings.crowd_image_height,
+        width=settings.crowd_image_width,
+        max_heads=settings.crowd_synthetic_max_heads,
+        sigma=settings.crowd_sigma,
+        label_type=settings.crowd_label_type, seed=s)
+    labeled = make(settings.labeled_dataset_size, settings.seed)
+    validation = make(settings.validation_dataset_size, settings.seed + 2)
+    predictor = float(labeled.head_counts.mean())
+    return float(np.abs(validation.head_counts - predictor).mean())
+
+
+def run_seed(seed: int, steps: int, ul: float, clip: float,
+             batch: int) -> dict:
+    from srgan_tpu.apps.crowd import CrowdExperiment
+    from srgan_tpu.settings import Settings
+
+    settings = Settings(
+        trial_name=f"crowdwin_s{seed}",
+        logs_directory=os.path.join(tempfile.gettempdir(), "srgan_crowdwin"),
+        batch_size=batch, image_patch_size=64, model_base_width=32,
+        compute_dtype="bfloat16", steps_to_run=steps,
+        summary_step_period=max(1, steps // 4),
+        validation_step_period=max(1, steps // 2),
+        labeled_dataset_size=4, unlabeled_dataset_size=64,
+        validation_dataset_size=32, test_dataset_size=32,
+        learning_rate=1e-4, unlabeled_loss_multiplier=ul,
+        fake_loss_multiplier=1.0, gradient_penalty_multiplier=10.0,
+        gradient_clip_norm=clip, seed=seed)
+    exp = CrowdExperiment(settings)
+    exp.train()
+    gan = exp.evaluate()
+    dnn = exp.evaluate(use_dnn=True)
+    return {"seed": seed, "MAE": gan["MAE"], "dnn_MAE": dnn["MAE"],
+            "NAE": gan["NAE"], "dnn_NAE": dnn["NAE"],
+            "naive_MAE": naive_mae(settings)}
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=3000)
+    parser.add_argument("--seeds", type=int, nargs="+",
+                        default=[0, 1, 2, 3, 4, 5])
+    parser.add_argument("--batch", type=int, default=32)
+    parser.add_argument("--ul", type=float, default=0.1,
+                        help="win-regime unlabeled multiplier (BASELINE.md)")
+    parser.add_argument("--gradient-clip", type=float, default=0.0)
+    args = parser.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/srgan_tpu_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    rows = []
+    for seed in args.seeds:
+        r = run_seed(seed, args.steps, args.ul, args.gradient_clip,
+                     args.batch)
+        print(json.dumps(r), flush=True)
+        rows.append(r)
+    wins = sum(1 for r in rows if r["MAE"] < r["dnn_MAE"])
+    summary = {k: round(float(np.mean([r[k] for r in rows])), 3)
+               for k in ("MAE", "dnn_MAE", "NAE", "dnn_NAE", "naive_MAE")}
+    summary["gan_wins"] = f"{wins}/{len(rows)}"
+    summary["gan_median_MAE"] = round(
+        float(np.median([r["MAE"] for r in rows])), 3)
+    summary["dnn_median_MAE"] = round(
+        float(np.median([r["dnn_MAE"] for r in rows])), 3)
+    print(json.dumps({"summary": summary, "steps": args.steps,
+                      "ul": args.ul, "clip": args.gradient_clip}))
+
+
+if __name__ == "__main__":
+    main()
