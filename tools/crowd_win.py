@@ -46,18 +46,18 @@ def naive_mae(settings) -> float:
 
 
 def run_seed(seed: int, steps: int, ul: float, clip: float,
-             batch: int) -> dict:
+             batch: int, labeled: int = 4, unlabeled: int = 64) -> dict:
     from srgan_tpu.apps.crowd import CrowdExperiment
     from srgan_tpu.settings import Settings
 
     settings = Settings(
-        trial_name=f"crowdwin_s{seed}",
+        trial_name=f"crowdwin_l{labeled}_s{seed}",
         logs_directory=os.path.join(tempfile.gettempdir(), "srgan_crowdwin"),
         batch_size=batch, image_patch_size=64, model_base_width=32,
         compute_dtype="bfloat16", steps_to_run=steps,
         summary_step_period=max(1, steps // 4),
         validation_step_period=max(1, steps // 2),
-        labeled_dataset_size=4, unlabeled_dataset_size=64,
+        labeled_dataset_size=labeled, unlabeled_dataset_size=unlabeled,
         validation_dataset_size=32, test_dataset_size=32,
         learning_rate=1e-4, unlabeled_loss_multiplier=ul,
         fake_loss_multiplier=1.0, gradient_penalty_multiplier=10.0,
@@ -77,6 +77,8 @@ def main() -> None:
     parser.add_argument("--seeds", type=int, nargs="+",
                         default=[0, 1, 2, 3, 4, 5])
     parser.add_argument("--batch", type=int, default=32)
+    parser.add_argument("--labeled", type=int, default=4)
+    parser.add_argument("--unlabeled", type=int, default=64)
     parser.add_argument("--ul", type=float, default=0.1,
                         help="win-regime unlabeled multiplier (BASELINE.md)")
     parser.add_argument("--gradient-clip", type=float, default=0.0)
@@ -90,7 +92,8 @@ def main() -> None:
     rows = []
     for seed in args.seeds:
         r = run_seed(seed, args.steps, args.ul, args.gradient_clip,
-                     args.batch)
+                     args.batch, labeled=args.labeled,
+                     unlabeled=args.unlabeled)
         print(json.dumps(r), flush=True)
         rows.append(r)
     wins = sum(1 for r in rows if r["MAE"] < r["dnn_MAE"])
@@ -102,7 +105,8 @@ def main() -> None:
     summary["dnn_median_MAE"] = round(
         float(np.median([r["dnn_MAE"] for r in rows])), 3)
     print(json.dumps({"summary": summary, "steps": args.steps,
-                      "ul": args.ul, "clip": args.gradient_clip}))
+                      "labeled": args.labeled, "ul": args.ul,
+                      "clip": args.gradient_clip}))
 
 
 if __name__ == "__main__":
