@@ -29,20 +29,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def naive_mae(settings) -> float:
-    """MAE of predicting the labeled-set mean count on validation."""
-    from srgan_tpu.data.crowd import synthetic_crowd_database
+def naive_mae(exp) -> float:
+    """MAE of predicting the labeled-set mean count on validation.
 
-    make = lambda n, s: synthetic_crowd_database(
-        n, height=settings.crowd_image_height,
-        width=settings.crowd_image_width,
-        max_heads=settings.crowd_synthetic_max_heads,
-        sigma=settings.crowd_sigma,
-        label_type=settings.crowd_label_type, seed=s)
-    labeled = make(settings.labeled_dataset_size, settings.seed)
-    validation = make(settings.validation_dataset_size, settings.seed + 2)
-    predictor = float(labeled.head_counts.mean())
-    return float(np.abs(validation.head_counts - predictor).mean())
+    Computed from the trained experiment's OWN splits (not a hand-rolled
+    reconstruction of the hermetic-fallback seed layout — ADVICE r4): the
+    baseline always scores the exact data the models were scored on, real
+    database or synthetic alike.
+    """
+    predictor = float(exp.labeled_db.per_image_counts(
+        exp.labeled_db.roi_head_counts()).mean())
+    val = exp.validation_db.per_image_counts(
+        exp.validation_db.roi_head_counts())
+    return float(np.abs(val - predictor).mean())
 
 
 def run_seed(seed: int, steps: int, ul: float, clip: float,
@@ -61,14 +60,17 @@ def run_seed(seed: int, steps: int, ul: float, clip: float,
         validation_dataset_size=32, test_dataset_size=32,
         learning_rate=1e-4, unlabeled_loss_multiplier=ul,
         fake_loss_multiplier=1.0, gradient_penalty_multiplier=10.0,
-        gradient_clip_norm=clip, seed=seed)
+        gradient_clip_norm=clip, seed=seed,
+        # Through Settings so Experiment._process_cache_dir's process-level
+        # binding bookkeeping stays accurate (ADVICE r4).
+        compilation_cache_dir="/tmp/srgan_tpu_bench_cache")
     exp = CrowdExperiment(settings)
     exp.train()
     gan = exp.evaluate()
     dnn = exp.evaluate(use_dnn=True)
     return {"seed": seed, "MAE": gan["MAE"], "dnn_MAE": dnn["MAE"],
             "NAE": gan["NAE"], "dnn_NAE": dnn["NAE"],
-            "naive_MAE": naive_mae(settings)}
+            "naive_MAE": naive_mae(exp)}
 
 
 def main() -> None:
@@ -85,8 +87,6 @@ def main() -> None:
     args = parser.parse_args()
 
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      "/tmp/srgan_tpu_bench_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     rows = []
