@@ -172,8 +172,18 @@ class CrowdExperiment(Experiment):
         if self.uses_aux_target:
             aux = self.labeled_db.aux_maps
             label_bytes += (aux.nbytes // aux.itemsize) * label_itemsize
-        train_arrays = [self.labeled_db.images.nbytes, label_bytes,
-                        self.unlabeled_db.images.nbytes]
+        # Window tier: only the resident window of each training split
+        # occupies HBM, regardless of the split's size.
+        lab_window = self._window_size_for(self.labeled_db)
+        unl_window = self._window_size_for(self.unlabeled_db)
+        lab_frac = (lab_window / len(self.labeled_db)) if lab_window else 1.0
+        unl_frac = ((unl_window / len(self.unlabeled_db))
+                    if unl_window else 1.0)
+        train_arrays = [
+            int(self.labeled_db.images.nbytes * lab_frac),
+            int(label_bytes * lab_frac),
+            int(self.unlabeled_db.images.nbytes * unl_frac),
+        ]
         if self._shard_dataset:
             # Per-device shard of each array, including the cyclic pad to
             # a mesh multiple (what _upload_databases actually uploads).
@@ -183,9 +193,12 @@ class CrowdExperiment(Experiment):
                 return -(-n // d) * (total // max(n, 1))
 
             train_arrays = [
-                shard_bytes(train_arrays[0], len(self.labeled_db)),
-                shard_bytes(train_arrays[1], len(self.labeled_db)),
-                shard_bytes(train_arrays[2], len(self.unlabeled_db)),
+                shard_bytes(train_arrays[0],
+                            lab_window or len(self.labeled_db)),
+                shard_bytes(train_arrays[1],
+                            lab_window or len(self.labeled_db)),
+                shard_bytes(train_arrays[2],
+                            unl_window or len(self.unlabeled_db)),
             ]
         # The validation split is replicated to every device on all paths.
         db_bytes = sum(train_arrays) + self.validation_db.images.nbytes
@@ -207,6 +220,10 @@ class CrowdExperiment(Experiment):
             if self._label_dtype == jnp.float32:
                 hatches.append("crowd_label_dtype='bfloat16' (halves "
                                "the label maps, full speed)")
+            if not self.settings.crowd_hbm_window:
+                hatches.append("crowd_hbm_window=<N> (rotating resident "
+                               "window: full-speed sampling, dataset "
+                               "streams through HBM asynchronously)")
             if not self._shard_dataset:
                 hatches.append("crowd_shard_dataset=True (capacity "
                                "scales with mesh size)")
@@ -228,6 +245,84 @@ class CrowdExperiment(Experiment):
                              f"choose float32 or bfloat16")
         return jnp.float32 if name == "float32" else jnp.bfloat16
 
+    def _window_size_for(self, db: CrowdDatabase) -> int:
+        """Resident window size for a training split: 0 = fully resident
+        (window tier off, or the split already fits)."""
+        win = self.settings.crowd_hbm_window
+        if win and len(db) > win:
+            return win
+        return 0
+
+    def _label_np_dtype(self):
+        if self._label_dtype == jnp.bfloat16:
+            import ml_dtypes
+            return ml_dtypes.bfloat16
+        return np.float32
+
+    def _labels_source(self, db: CrowdDatabase):
+        """Per-slice stacked-label assembly for the window tier: never
+        materializes the full [N,H,W,C] stack (the whole point of the
+        tier is that N is multi-GB)."""
+        aux = self.uses_aux_target
+        dtype = self._label_np_dtype()
+
+        def source(ids: np.ndarray) -> np.ndarray:
+            dens = db.density_maps[ids]
+            if aux:
+                stacked = np.stack([dens, db.aux_maps[ids]], axis=-1)
+            else:
+                stacked = dens[..., None]
+            return stacked.astype(dtype, copy=False)
+
+        return source
+
+    def _build_window(self, names, sources, num_examples: int,
+                      window: int) -> "HBMWindow":
+        """Wire an :class:`~srgan_tpu.data.window.HBMWindow` to this
+        trial's mesh: replicated window buffers on the dp mesh, or
+        batch-sharded buffers with shard-local rotation + shard_map
+        updates under ``crowd_shard_dataset``."""
+        from srgan_tpu.data.window import HBMWindow, slice_update_factory
+
+        settings = self.settings
+        if self._shard_dataset:
+            d = pmesh.data_axis_size(self.mesh)
+            # Balanced contiguous blocks (sizes differ by <=1, never
+            # empty for num_examples >= d — guaranteed since the split
+            # exceeds the window and the window divides by d).
+            shard_ids = np.array_split(np.arange(num_examples), d)
+            sharding = pmesh.batch_sharding(self.mesh)
+        else:
+            shard_ids = [np.arange(num_examples)]
+            sharding = pmesh.replicated_sharding(self.mesh)
+        make_update = slice_update_factory(self.mesh,
+                                           sharded=self._shard_dataset)
+        period = settings.crowd_window_refresh_period
+        if (period > 0 and settings.steps_per_dispatch > 1
+                and period % settings.steps_per_dispatch):
+            raise ValueError(
+                f"crowd_window_refresh_period={period} must be a multiple "
+                f"of steps_per_dispatch={settings.steps_per_dispatch} "
+                f"(refreshes happen at chunk boundaries)")
+        return HBMWindow(
+            names, sources, shard_ids, window,
+            settings.crowd_window_slices,
+            # Same [seed, stream, start] convention as the other data
+            # RNGs: a resumed run rotates in a fresh order.
+            seed=[settings.seed, 7, self._start_step],
+            put=lambda a: jax.device_put(a, sharding),
+            make_update=make_update, refresh_period=period)
+
+    def _refresh_windows(self, step: int) -> None:
+        for w in self._windows:
+            if w.maybe_refresh(step):
+                self._device_data.update(w.arrays)
+
+    def close(self) -> None:
+        for w in getattr(self, "_windows", ()):
+            w.close()
+        super().close()
+
     def _upload_databases(self) -> None:
         """Place split arrays in device HBM once (float32; raw 0..255).
 
@@ -239,7 +334,15 @@ class CrowdExperiment(Experiment):
         sharded over the 'data' axis (cyclically padded to a multiple of
         the mesh size) so each device's HBM holds only 1/Nth of the
         database; sampling then uses LOCAL per-shard indices.
+
+        With ``settings.crowd_hbm_window`` any training split larger than
+        the window keeps only a rotating W-example window resident
+        (data/window.py): the sampler sees a full-speed HBM buffer of W
+        examples while retired slices refresh asynchronously from the
+        host. Composes with dataset sharding (per-shard windows).
         """
+        settings = self.settings
+        self._windows = []
         repl = pmesh.replicated_sharding(self.mesh)
         put = lambda a: jax.device_put(a, repl)
         # Images stay uint8 in HBM (4× less memory/bandwidth than f32); the
@@ -247,12 +350,19 @@ class CrowdExperiment(Experiment):
         self._device_data = {
             "validation_images": put(self.validation_db.images),
         }
-        if self.settings.crowd_host_pipeline:
+        if settings.crowd_host_pipeline:
+            if settings.crowd_hbm_window:
+                raise ValueError(
+                    "crowd_hbm_window and crowd_host_pipeline are "
+                    "mutually exclusive tiers; the window tier replaces "
+                    "host streaming for larger-than-HBM databases")
             # Label dtype validated eagerly (the host tier casts label
             # crops to it before transfer — _host_epoch_iterators).
             _ = self._label_dtype
             return
         self._check_hbm_budget()
+        lab_window = self._window_size_for(self.labeled_db)
+        unl_window = self._window_size_for(self.unlabeled_db)
         if self._shard_dataset:
             d = pmesh.data_axis_size(self.mesh)
 
@@ -265,32 +375,64 @@ class CrowdExperiment(Experiment):
             # Per-shard index space for the host-side samplers. The
             # per-shard TRUE counts exclude cyclic-pad duplicates from
             # the sample distribution (non-divisible splits would
-            # otherwise double-weight the wrapped examples).
-            self._labeled_index_bound = -(-len(self.labeled_db) // d)
-            self._unlabeled_index_bound = -(-len(self.unlabeled_db) // d)
-            self._labeled_local_counts = shard_local_counts(
-                len(self.labeled_db), d)
-            self._unlabeled_local_counts = shard_local_counts(
-                len(self.unlabeled_db), d)
+            # otherwise double-weight the wrapped examples). Windowed
+            # splits: every shard's window is always full (W/d rows).
+            if lab_window:
+                self._labeled_index_bound = lab_window // d
+                self._labeled_local_counts = np.full(
+                    d, lab_window // d, np.int64)
+            else:
+                self._labeled_index_bound = -(-len(self.labeled_db) // d)
+                self._labeled_local_counts = shard_local_counts(
+                    len(self.labeled_db), d)
+            if unl_window:
+                self._unlabeled_index_bound = unl_window // d
+                self._unlabeled_local_counts = np.full(
+                    d, unl_window // d, np.int64)
+            else:
+                self._unlabeled_index_bound = -(-len(self.unlabeled_db)
+                                                // d)
+                self._unlabeled_local_counts = shard_local_counts(
+                    len(self.unlabeled_db), d)
             put = put_sharded
         else:
-            self._labeled_index_bound = len(self.labeled_db)
-            self._unlabeled_index_bound = len(self.unlabeled_db)
+            self._labeled_index_bound = lab_window or len(self.labeled_db)
+            self._unlabeled_index_bound = (unl_window
+                                           or len(self.unlabeled_db))
             self._labeled_local_counts = None
             self._unlabeled_local_counts = None
-        # With an aux training target the label tensor carries BOTH
-        # maps ([..., 0] density for counts, [..., 1] aux target) so
-        # one kernel pass extracts consistent patches of each.
-        labels = self._stacked_labels()
-        if self._label_dtype != jnp.float32:
-            # ml_dtypes gives numpy a real bfloat16; the Pallas patch
-            # kernel upcasts to f32 on the VPU during extraction.
-            labels = labels.astype(self._label_dtype)
-        self._device_data.update({
-            "labeled_images": put(self.labeled_db.images),
-            "labeled_density": put(labels),
-            "unlabeled_images": put(self.unlabeled_db.images),
-        })
+        if lab_window:
+            window = self._build_window(
+                ["labeled_images", "labeled_density"],
+                [lambda ids, a=self.labeled_db.images: a[ids],
+                 self._labels_source(self.labeled_db)],
+                len(self.labeled_db), lab_window)
+            self._windows.append(window)
+            self._device_data.update(window.arrays)
+        else:
+            # With an aux training target the label tensor carries BOTH
+            # maps ([..., 0] density for counts, [..., 1] aux target) so
+            # one kernel pass extracts consistent patches of each.
+            labels = self._stacked_labels()
+            if self._label_dtype != jnp.float32:
+                # ml_dtypes gives numpy a real bfloat16; the Pallas patch
+                # kernel upcasts to f32 on the VPU during extraction.
+                labels = labels.astype(self._label_dtype)
+            self._device_data.update({
+                "labeled_images": put(self.labeled_db.images),
+                "labeled_density": put(labels),
+            })
+        if unl_window:
+            window = self._build_window(
+                ["unlabeled_images"],
+                [lambda ids, a=self.unlabeled_db.images: a[ids]],
+                len(self.unlabeled_db), unl_window)
+            self._windows.append(window)
+            self._device_data.update(window.arrays)
+        else:
+            self._device_data.update({
+                "unlabeled_images": put(self.unlabeled_db.images),
+            })
 
     def _prepare_host_pipeline(self):
         """Export splits as .npy and stand up the native C++ readers/
@@ -754,12 +896,18 @@ class CrowdExperiment(Experiment):
         if self.settings.crowd_host_pipeline:
             yield from self._host_epoch_iterators()
             return
+        import itertools
+
         data = self._device_data
         args = self._patch_args_stream()
         steps = self.steps_per_epoch()
+        # Absolute step clock for the window tier's refresh schedule
+        # (deterministic periods are boundaries on the global step).
+        step_clock = itertools.count(self._start_step)
 
         def one_epoch():
             for _ in range(steps):
+                self._refresh_windows(next(step_clock))
                 yield self._sample_batch(
                     data["labeled_images"], data["labeled_density"],
                     data["unlabeled_images"], *next(args))
@@ -827,6 +975,9 @@ class CrowdExperiment(Experiment):
                 jax.profiler.start_trace(
                     os.path.join(self.trial_directory, "profile"))
                 profiling = True
+            # Window refreshes land on chunk boundaries (deterministic
+            # periods are validated to be multiples of K).
+            self._refresh_windows(step)
             stacked = [np.stack(column)
                        for column in zip(*(next(args) for _ in range(K)))]
             self.state, chain, stacked_metrics = self._train_chunk(

@@ -228,6 +228,30 @@ class Settings:
     # still fire on exactly the hardware where a multi-GB database would
     # hit it (VERDICT r4 weak #2). v5e = 16 GB.
     device_hbm_gb: float = 16.0
+    # Dataset-scale double-buffered HBM input queue (the "window tier",
+    # data/window.py): any training split LARGER than this many examples
+    # keeps only a rotating W-example window resident in HBM; the Pallas
+    # sampler runs unchanged at full speed over the window while retired
+    # slices are refreshed asynchronously from the host. 0 = off (whole
+    # split resident — the default, fastest when it fits). This is the
+    # middle tier between HBM-resident and crowd_host_pipeline for
+    # larger-than-HBM databases (e.g. UCF-QNRF --mode tiles, ~20-30 GB
+    # vs 16 GB v5e HBM): step rate stays at the HBM ceiling and the
+    # dataset rotates through HBM at host->device IO speed.
+    crowd_hbm_window: int = 0
+    # Refresh granularity: the window divides into this many slices; one
+    # slice (window/slices examples) is replaced per refresh. More slices
+    # = finer-grained rotation and smaller staging buffers; fewer = fewer,
+    # larger DMAs.
+    crowd_window_slices: int = 8
+    # Steps between window refreshes. 0 = opportunistic (a slice is
+    # applied at the first step after its background transfer completes —
+    # training NEVER blocks on input IO; rotation rate adapts to the
+    # host->device bandwidth). k > 0 = deterministic schedule (window
+    # content at step t is a pure function of the seed; blocks on the DMA
+    # if IO cannot keep up). With steps_per_dispatch=K, k must be a
+    # multiple of K (refreshes happen at chunk boundaries).
+    crowd_window_refresh_period: int = 0
     # Shard the HBM-resident crowd database over the 'data' mesh axis
     # (each device holds 1/Nth of the split and samples its batch shard
     # from LOCAL indices) instead of replicating it to every device: HBM
