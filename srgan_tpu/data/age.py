@@ -75,6 +75,16 @@ def preprocess_imdb_wiki(root_directory: str, mat_path: str,
                 img.convert("RGB").resize((image_size, image_size),
                                           Image.BILINEAR), np.uint8)
         valid[i] = True
+    skipped = int(len(valid) - valid.sum())
+    if skipped:
+        # At real IMDB-WIKI scale a wrong root_directory silently
+        # producing an empty database would exit 0 (found by
+        # tools/imdb_wiki_rehearsal.py); surface the skip count.
+        import warnings
+        warnings.warn(
+            f"{skipped}/{len(valid)} metadata records point at image "
+            f"files missing under {root_directory!r}; they were skipped",
+            stacklevel=2)
     images, ages = images[valid], ages[valid]
     if output_path:
         os.makedirs(os.path.dirname(os.path.abspath(output_path)),

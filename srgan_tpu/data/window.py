@@ -55,12 +55,15 @@ def slice_update_factory(mesh=None, sharded: bool = False):
 
     ``sharded=True`` runs the update under ``shard_map`` at a shard-LOCAL
     offset (each data shard updates its own window block — no
-    cross-device traffic). Donation is requested only on TPU: the CPU
-    backend cannot alias these buffers and would warn on every refresh.
+    cross-device traffic). Only the window buffer (arg 0) is donated —
+    it aliases the same-shaped output, so the update is in-place in HBM;
+    the slice has no matching output and cannot alias. Donation is
+    requested only on TPU: the CPU backend cannot alias these buffers
+    and would warn on every refresh.
     """
     import jax
 
-    donate = (0, 1) if jax.default_backend() == "tpu" else ()
+    donate = (0,) if jax.default_backend() == "tpu" else ()
 
     def body(buf, sl, off):
         return jax.lax.dynamic_update_slice(
@@ -230,12 +233,25 @@ class HBMWindow:
             for name, source in zip(self.names, self._sources)}
 
     def _stage_next(self) -> None:
-        """Kick the background assemble + device_put of the next slice."""
+        """Kick the background assemble + device_put of the next slice.
+
+        The worker forces transfer COMPLETION with a one-scalar readback
+        before reporting ready: ``device_put`` returns as soon as the
+        transfer is enqueued (and ``block_until_ready`` returns early
+        through remote-TPU tunnels — CLAUDE.md), so without the sync the
+        opportunistic mode would apply slices whose DMA is still in
+        flight, stalling the device on exactly the IO it must overlap.
+        """
         ids = self._draw_slice_ids()
 
         def work():
-            return ids, [self._put(self._assemble(source, ids))
-                         for source in self._sources]
+            import jax
+
+            out = [self._put(self._assemble(source, ids))
+                   for source in self._sources]
+            for a in out:
+                jax.device_get(a[(0,) * a.ndim])
+            return ids, out
 
         self._staged = self._stager.submit(work)
 
