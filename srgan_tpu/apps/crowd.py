@@ -254,6 +254,8 @@ class CrowdExperiment(Experiment):
         return 0
 
     def _label_np_dtype(self):
+        """numpy dtype matching ``_label_dtype`` (ml_dtypes gives numpy a
+        real bfloat16 — it ships with jax)."""
         if self._label_dtype == jnp.bfloat16:
             import ml_dtypes
             return ml_dtypes.bfloat16
@@ -1040,13 +1042,8 @@ class CrowdExperiment(Experiment):
 
         # bf16 label crops halve the label transfer (same rationale as
         # the HBM path's crowd_label_dtype; the step wrapper upcasts to
-        # f32 on device). numpy needs ml_dtypes (jax's dependency) for
-        # the bfloat16 host cast.
-        if self._label_dtype == jnp.bfloat16:
-            import ml_dtypes
-            label_np_dtype = ml_dtypes.bfloat16
-        else:
-            label_np_dtype = np.float32
+        # f32 on device).
+        label_np_dtype = self._label_np_dtype()
 
         def host_batches():
             for _ in range(steps):

@@ -251,14 +251,32 @@ class CrowdDatabase:
         """Per-channel (mean, std) of the pixels in [0,1] scale.
 
         Stored statistics (preprocess-time) win; otherwise computed here
-        once in float64 over the u8 images and cached. std is floored at
-        1e-3 so a constant channel can never divide by ~0.
+        once and cached. Accumulated CHUNKED in float64 (sum / sum-of-
+        squares over ~128 MB u8 slices): the previous whole-array
+        ``astype(np.float64)`` materialized 8× the image bytes at once —
+        found at 43 GB RSS by tools/real_scale_cli_rehearsal.py; at real
+        UCF-QNRF tiles scale (~30 GB u8) it would OOM the host. f64
+        keeps ~15 significant digits over ≤1e10-pixel sums, so the
+        one-pass E[x²]−E[x]² variance is exact to ~1e-12 here. std is
+        floored at 1e-3 so a constant channel can never divide by ~0.
         """
         if self.image_mean is None or self.image_std is None:
-            pixels = self.images.reshape(-1, 3).astype(np.float64) / 255.0
-            self.image_mean = pixels.mean(axis=0).astype(np.float32)
+            total = np.zeros(3, np.float64)
+            total_sq = np.zeros(3, np.float64)
+            count = 0
+            per_image = max(1, int(self.images[:1].nbytes))
+            step = max(1, (128 << 20) // per_image)
+            for i in range(0, len(self.images), step):
+                chunk = (self.images[i:i + step].reshape(-1, 3)
+                         .astype(np.float64) / 255.0)
+                total += chunk.sum(axis=0)
+                total_sq += np.square(chunk).sum(axis=0)
+                count += len(chunk)
+            mean = total / max(count, 1)
+            var = np.maximum(total_sq / max(count, 1) - mean ** 2, 0.0)
+            self.image_mean = mean.astype(np.float32)
             self.image_std = np.maximum(
-                pixels.std(axis=0), 1e-3).astype(np.float32)
+                np.sqrt(var), 1e-3).astype(np.float32)
         return self.image_mean, self.image_std
 
     def roi_head_counts(self) -> np.ndarray:
@@ -518,10 +536,16 @@ class DatabasePreprocessor:
         database = CrowdDatabase(
             images=np.stack(images) if images else
             np.zeros((0, self.height, self.width, 3), np.uint8),
-            density_maps=np.stack(densities).astype(np.float32) if densities
-            else np.zeros((0, self.height, self.width), np.float32),
+            # astype(copy=False): the maps are already f32 — an eager
+            # astype would duplicate the largest array of the database a
+            # second time at exactly the multi-GB tiles scale.
+            density_maps=(np.stack(densities).astype(np.float32,
+                                                     copy=False)
+                          if densities
+                          else np.zeros((0, self.height, self.width),
+                                        np.float32)),
             head_counts=np.asarray(counts, np.float32),
-            aux_maps=(np.stack(aux).astype(np.float32)
+            aux_maps=(np.stack(aux).astype(np.float32, copy=False)
                       if aux else None),
             label_type=self.label_type,
             image_ids=(np.asarray(ids, np.int32)

@@ -311,6 +311,22 @@ class TestCrowdWindowIntegration:
         assert int(np.asarray(state.step)) == 6
         assert all(w.refresh_count >= 2 for w in exp._windows)
 
+    def test_window_resume(self, tmp_path):
+        """Checkpoint + resume with the window tier: the resumed run
+        rotates in a fresh order (streams fold in the restored step,
+        like every other data RNG) and trains to completion."""
+        from srgan_tpu.apps.crowd import CrowdExperiment
+
+        first = CrowdExperiment(self._settings(tmp_path, steps_to_run=4))
+        first.train()
+        resumed = CrowdExperiment(self._settings(
+            tmp_path, steps_to_run=8,
+            load_model_path=first.trial_directory))
+        state = resumed.train()
+        assert int(np.asarray(state.step)) == 8
+        assert all(w.refresh_count >= 2 for w in resumed._windows)
+        assert np.isfinite(resumed.evaluate()["MAE"])
+
     def test_chunked_dispatch_period_validation(self, tmp_path):
         from srgan_tpu.apps.crowd import CrowdExperiment
 
