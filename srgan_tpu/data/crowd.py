@@ -309,7 +309,7 @@ class CrowdDatabase:
                            minlength=self.num_source_images
                            ).astype(np.float32)
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, compress: bool = True) -> None:
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         arrays = dict(images=self.images, density_maps=self.density_maps,
                       head_counts=self.head_counts,
@@ -323,7 +323,11 @@ class CrowdDatabase:
         if self.image_mean is not None and self.image_std is not None:
             arrays["image_mean"] = self.image_mean
             arrays["image_std"] = self.image_std
-        np.savez_compressed(path, **arrays)
+        # compress=False: multi-GB tiles databases pay single-core zlib
+        # minutes at save and a full decompress at EVERY training
+        # startup; uncompressed trades disk for both (preprocess CLI
+        # --no-compress).
+        (np.savez_compressed if compress else np.savez)(path, **arrays)
 
     @classmethod
     def load(cls, path: str) -> "CrowdDatabase":
@@ -389,7 +393,8 @@ class DatabasePreprocessor:
 
     def __init__(self, height: int = 384, width: int = 512,
                  sigma: float = 8.0, label_type: str = "density",
-                 knn_k: int = 1, mode: str = "resize"):
+                 knn_k: int = 1, mode: str = "resize",
+                 compress: bool = True):
         if label_type not in ("density", "knn", "iknn"):
             raise ValueError(f"unknown label_type {label_type!r}; "
                              f"choose density, knn or iknn")
@@ -402,6 +407,10 @@ class DatabasePreprocessor:
         self.label_type = label_type
         self.knn_k = knn_k
         self.mode = mode
+        # Tiles-scale databases are multi-GB: single-core zlib costs
+        # minutes at save AND a full decompress at every training
+        # startup. --no-compress trades disk for both.
+        self.compress = compress
 
     # -------------------------------------------------- subclass interface
     def example_paths(self, raw_directory: str):
@@ -564,7 +573,7 @@ class DatabasePreprocessor:
         if len(database):
             database.image_statistics()
         if output_path:
-            database.save(output_path)
+            database.save(output_path, compress=self.compress)
         return database
 
     def _append_tiles(self, pixels: np.ndarray, heads_yx: np.ndarray,
@@ -773,11 +782,17 @@ def main(argv=None) -> int:
                              "image; tiles: native-resolution "
                              "(height,width) tiles with image_ids for "
                              "per-image evaluation")
+    parser.add_argument("--no-compress", action="store_true",
+                        help="write an uncompressed .npz: multi-GB tiles "
+                             "databases skip single-core zlib minutes at "
+                             "save and a full decompress at every "
+                             "training startup")
     args = parser.parse_args(argv)
     pre = PREPROCESSORS[args.database](height=args.height,
                                        width=args.width, sigma=args.sigma,
                                        label_type=args.label_type,
-                                       knn_k=args.knn_k, mode=args.mode)
+                                       knn_k=args.knn_k, mode=args.mode,
+                                       compress=not args.no_compress)
     db = pre.preprocess(args.raw_directory, args.output_path)
     sources = (f" from {db.num_source_images} images"
                if db.image_ids is not None else "")

@@ -88,6 +88,12 @@ def main(argv=None) -> int:
     parser.add_argument("--steps", type=int, default=400)
     parser.add_argument("--window", type=int, default=1024)
     parser.add_argument("--batch", type=int, default=120)
+    parser.add_argument("--clip", type=float, default=0.0,
+                        help="Settings.gradient_clip_norm (1.0 stabilizes "
+                             "the documented no-clip count-head "
+                             "divergence; 0 = off)")
+    parser.add_argument("--ul", type=float, default=1.0,
+                        help="unlabeled_loss_multiplier")
     parser.add_argument("--work-dir", default="/tmp/srgan_cli_rehearsal")
     parser.add_argument("--keep", action="store_true")
     parser.add_argument("--skip-gen", action="store_true",
@@ -148,6 +154,8 @@ def main(argv=None) -> int:
              "--steps_to_run", str(args.steps),
              "--summary_step_period", "50",
              "--validation_step_period", str(args.steps),
+             "--gradient_clip_norm", str(args.clip),
+             "--unlabeled_loss_multiplier", str(args.ul),
              "--trial_name", "cli_rehearsal",
              "--logs_directory", logs,
              "--compilation_cache_dir", "/tmp/srgan_tpu_bench_cache"],
