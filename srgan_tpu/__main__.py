@@ -125,6 +125,7 @@ def main(argv=None) -> int:
         result = {"validation": _evaluate_or_null(experiment)}
         _add_test_metrics(experiment, result)
         print(json.dumps(result))
+        experiment.close()  # writers + any input-pipeline threads
         return 0
     experiment.train()
     _export_density_maps(experiment, args.export_density_maps)
@@ -132,6 +133,7 @@ def main(argv=None) -> int:
               "validation": _evaluate_or_null(experiment)}
     _add_test_metrics(experiment, result)
     print(json.dumps(result))
+    experiment.close()
     return 0
 
 

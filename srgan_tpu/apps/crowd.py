@@ -173,11 +173,16 @@ class CrowdExperiment(Experiment):
             aux = self.labeled_db.aux_maps
             label_bytes += (aux.nbytes // aux.itemsize) * label_itemsize
         # Window tier: only the resident window of each training split
-        # occupies HBM, regardless of the split's size.
+        # occupies HBM, regardless of the split's size — PLUS one staged
+        # refresh slice per split (window/slices rows), which is always
+        # in flight at steady state (HBMWindow._stage_next).
         lab_window = self._window_size_for(self.labeled_db)
         unl_window = self._window_size_for(self.unlabeled_db)
-        lab_frac = (lab_window / len(self.labeled_db)) if lab_window else 1.0
-        unl_frac = ((unl_window / len(self.unlabeled_db))
+        slices = self.settings.crowd_window_slices
+        resident = lambda win: win * (1.0 + 1.0 / slices)
+        lab_frac = ((resident(lab_window) / len(self.labeled_db))
+                    if lab_window else 1.0)
+        unl_frac = ((resident(unl_window) / len(self.unlabeled_db))
                     if unl_window else 1.0)
         train_arrays = [
             int(self.labeled_db.images.nbytes * lab_frac),
@@ -279,7 +284,7 @@ class CrowdExperiment(Experiment):
         return source
 
     def _build_window(self, names, sources, num_examples: int,
-                      window: int) -> "HBMWindow":
+                      window: int, stream: int) -> "HBMWindow":
         """Wire an :class:`~srgan_tpu.data.window.HBMWindow` to this
         trial's mesh: replicated window buffers on the dp mesh, or
         batch-sharded buffers with shard-local rotation + shard_map
@@ -310,8 +315,12 @@ class CrowdExperiment(Experiment):
             names, sources, shard_ids, window,
             settings.crowd_window_slices,
             # Same [seed, stream, start] convention as the other data
-            # RNGs: a resumed run rotates in a fresh order.
-            seed=[settings.seed, 7, self._start_step],
+            # RNGs: distinct stream ids per window (equal-sized labeled/
+            # unlabeled splits would otherwise rotate through IDENTICAL
+            # id sequences in lockstep — a systematic cross-stream
+            # sampling correlation), and a resumed run rotates in a
+            # fresh order.
+            seed=[settings.seed, stream, self._start_step],
             put=lambda a: jax.device_put(a, sharding),
             make_update=make_update, refresh_period=period)
 
@@ -344,6 +353,10 @@ class CrowdExperiment(Experiment):
         host. Composes with dataset sharding (per-shard windows).
         """
         settings = self.settings
+        # Rebuilds (repeat prepare_train_step calls) must not leak the
+        # previous windows' staging threads/buffers.
+        for w in getattr(self, "_windows", ()):
+            w.close()
         self._windows = []
         repl = pmesh.replicated_sharding(self.mesh)
         put = lambda a: jax.device_put(a, repl)
@@ -361,6 +374,15 @@ class CrowdExperiment(Experiment):
             # Label dtype validated eagerly (the host tier casts label
             # crops to it before transfer — _host_epoch_iterators).
             _ = self._label_dtype
+            return
+        if self._evaluation_only:
+            # Grid evaluation reads only validation_images (test splits
+            # device_put per call): skip the multi-GB training-split
+            # uploads and the window staging threads entirely — on the
+            # window-tier databases this path exists for, they cost
+            # minutes of tunnel transfer evaluation never uses.
+            self._labeled_index_bound = len(self.labeled_db)
+            self._unlabeled_index_bound = len(self.unlabeled_db)
             return
         self._check_hbm_budget()
         lab_window = self._window_size_for(self.labeled_db)
@@ -408,7 +430,7 @@ class CrowdExperiment(Experiment):
                 ["labeled_images", "labeled_density"],
                 [lambda ids, a=self.labeled_db.images: a[ids],
                  self._labels_source(self.labeled_db)],
-                len(self.labeled_db), lab_window)
+                len(self.labeled_db), lab_window, stream=7)
             self._windows.append(window)
             self._device_data.update(window.arrays)
         else:
@@ -428,7 +450,7 @@ class CrowdExperiment(Experiment):
             window = self._build_window(
                 ["unlabeled_images"],
                 [lambda ids, a=self.unlabeled_db.images: a[ids]],
-                len(self.unlabeled_db), unl_window)
+                len(self.unlabeled_db), unl_window, stream=8)
             self._windows.append(window)
             self._device_data.update(window.arrays)
         else:
@@ -684,7 +706,9 @@ class CrowdExperiment(Experiment):
     def prepare_train_step(self) -> None:
         super().prepare_train_step()
         self._upload_databases()
-        if self.settings.crowd_host_pipeline:
+        if self.settings.crowd_host_pipeline and not self._evaluation_only:
+            # Evaluation never pulls host batches: skip exporting the
+            # training splits as .npy and spinning prefetcher threads.
             self._prepare_host_pipeline()
             self._wrap_host_train_step()
         p = self.settings.image_patch_size

@@ -126,17 +126,25 @@ def age_datasets(settings) -> Tuple[ArrayDataset, ArrayDataset,
     size = settings.age_image_size
     if path:
         data = np.load(path)
-        images = data["images"].astype(np.float32) / 127.5 - 1.0
+        images = data["images"]
         ages = data["ages"].astype(np.float32)
         bounds = np.cumsum([settings.labeled_dataset_size,
                             settings.unlabeled_dataset_size,
                             settings.validation_dataset_size,
                             settings.test_dataset_size])
-        return (ArrayDataset(images[:bounds[0]], ages[:bounds[0]]),
-                ArrayDataset(images[bounds[0]:bounds[1]]),
-                ArrayDataset(images[bounds[1]:bounds[2]],
+
+        def norm(u8: np.ndarray) -> np.ndarray:
+            # Per-SPLIT conversion: converting the whole array before
+            # slicing quadrupled host RAM (u8 → f32) over records the
+            # splits never use — at IMDB-WIKI scale (~180k records,
+            # tools/imdb_wiki_rehearsal.py) that is GBs for nothing.
+            return u8.astype(np.float32) / 127.5 - 1.0
+
+        return (ArrayDataset(norm(images[:bounds[0]]), ages[:bounds[0]]),
+                ArrayDataset(norm(images[bounds[0]:bounds[1]])),
+                ArrayDataset(norm(images[bounds[1]:bounds[2]]),
                              ages[bounds[1]:bounds[2]]),
-                ArrayDataset(images[bounds[2]:bounds[3]],
+                ArrayDataset(norm(images[bounds[2]:bounds[3]]),
                              ages[bounds[2]:bounds[3]]))
     lab = synthetic_age_examples(settings.labeled_dataset_size, size,
                                  settings.seed)

@@ -65,6 +65,11 @@ class Experiment:
         # restore. Offsets every host-side data RNG so a resumed run sees
         # a fresh batch order instead of replaying the first epochs.
         self._start_step = 0
+        # True inside prepare_for_evaluation: input pipelines may skip
+        # training-only device work (e.g. the crowd app skips uploading
+        # multi-GB training splits / spinning window-refresh threads that
+        # evaluation never samples from).
+        self._evaluation_only = False
         self._checkpointer: Optional[checkpoint.AsyncStateCheckpointer] = \
             None
 
@@ -250,6 +255,7 @@ class Experiment:
         semantics as ``settings.load_model_path``).
         """
         self._apply_compilation_cache()
+        self._evaluation_only = True
         self.trial_directory = trial_directory
         period = self.settings.summary_step_period
         self.dnn_summary_writer = SummaryWriter(

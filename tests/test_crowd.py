@@ -1254,6 +1254,40 @@ def test_full_chain_preprocess_cli_to_training(tmp_path):
     assert test["MAE"] != val["MAE"]  # genuinely distinct split
 
 
+def test_preprocess_cli_no_compress(tmp_path):
+    """--no-compress writes a plain (uncompressed) npz that loads
+    identically: multi-GB tiles databases skip single-core zlib at save
+    and a full decompress at every training startup (round-5 CLI-scale
+    rehearsal finding)."""
+    import zipfile
+
+    from srgan_tpu.data.crowd import CrowdDatabase
+    from srgan_tpu.data.crowd import main as preprocess_main
+
+    rng = np.random.default_rng(0)
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    for i in range(2):
+        _write_image(raw / f"img_{i:04d}.jpg", h=48, w=48)
+        heads = rng.uniform(5, 40, size=(3, 2))
+        savemat(raw / f"img_{i:04d}_ann.mat", {"annPoints": heads})
+    plain = tmp_path / "plain.npz"
+    packed = tmp_path / "packed.npz"
+    for out, extra in ((plain, ["--no-compress"]), (packed, [])):
+        rc = preprocess_main([str(raw), str(out), "--height", "64",
+                              "--width", "64", "--sigma", "3.0"] + extra)
+        assert rc == 0
+    with zipfile.ZipFile(plain) as z:
+        assert all(i.compress_type == zipfile.ZIP_STORED
+                   for i in z.infolist())
+    with zipfile.ZipFile(packed) as z:
+        assert any(i.compress_type == zipfile.ZIP_DEFLATED
+                   for i in z.infolist())
+    a, b = CrowdDatabase.load(str(plain)), CrowdDatabase.load(str(packed))
+    np.testing.assert_array_equal(a.images, b.images)
+    np.testing.assert_array_equal(a.density_maps, b.density_maps)
+
+
 def test_full_chain_tiled_database_training(tmp_path):
     """Native-resolution user path: raw dir → preprocess --mode tiles →
     database with image_ids → training → per-SOURCE-image evaluation

@@ -327,6 +327,42 @@ class TestCrowdWindowIntegration:
         assert all(w.refresh_count >= 2 for w in resumed._windows)
         assert np.isfinite(resumed.evaluate()["MAE"])
 
+    def test_evaluation_only_skips_training_uploads(self, tmp_path):
+        """prepare_for_evaluation never uploads training splits or spins
+        window staging threads: grid eval reads only validation images —
+        on the multi-GB databases the window tier serves, those uploads
+        cost minutes of transfer evaluation never uses."""
+        from srgan_tpu.apps.crowd import CrowdExperiment
+
+        trained = CrowdExperiment(self._settings(tmp_path, steps_to_run=2,
+                                                 summary_step_period=2))
+        trained.train()
+        evaluator = CrowdExperiment(self._settings(tmp_path))
+        evaluator.prepare_for_evaluation(trained.trial_directory)
+        assert evaluator._windows == []
+        assert "labeled_images" not in evaluator._device_data
+        assert "unlabeled_images" not in evaluator._device_data
+        assert np.isfinite(evaluator.evaluate()["MAE"])
+        evaluator.close()
+
+    def test_labeled_unlabeled_windows_rotate_independently(self,
+                                                            tmp_path):
+        """Equal-sized splits must NOT rotate through identical id
+        sequences (distinct stream folds per window)."""
+        from srgan_tpu.apps.crowd import CrowdExperiment
+        from srgan_tpu.train import init_train_state
+
+        exp = CrowdExperiment(self._settings(tmp_path, steps_to_run=0))
+        exp.dataset_setup()
+        models, d, g, dnn = exp.model_setup()
+        exp.models = models
+        exp.state = init_train_state(exp.settings, d, g, dnn)
+        exp.prepare_mesh()
+        exp.prepare_train_step()
+        lab, unl = exp._windows
+        assert not np.array_equal(lab.resident_ids(), unl.resident_ids())
+        exp.close()
+
     def test_chunked_dispatch_period_validation(self, tmp_path):
         from srgan_tpu.apps.crowd import CrowdExperiment
 
