@@ -287,20 +287,18 @@ class CrowdExperiment(Experiment):
                       window: int, stream: int) -> "HBMWindow":
         """Wire an :class:`~srgan_tpu.data.window.HBMWindow` to this
         trial's mesh: replicated window buffers on the dp mesh, or
-        batch-sharded buffers with shard-local rotation + shard_map
-        updates under ``crowd_shard_dataset``."""
+        batch-sharded buffers fed shard-major from one global rotation
+        stream + shard_map updates under ``crowd_shard_dataset`` (a
+        single stream keeps per-example sampling frequency uniform when
+        the split size does not divide by the shard count)."""
         from srgan_tpu.data.window import HBMWindow, slice_update_factory
 
         settings = self.settings
         if self._shard_dataset:
             d = pmesh.data_axis_size(self.mesh)
-            # Balanced contiguous blocks (sizes differ by <=1, never
-            # empty for num_examples >= d — guaranteed since the split
-            # exceeds the window and the window divides by d).
-            shard_ids = np.array_split(np.arange(num_examples), d)
             sharding = pmesh.batch_sharding(self.mesh)
         else:
-            shard_ids = [np.arange(num_examples)]
+            d = 1
             sharding = pmesh.replicated_sharding(self.mesh)
         make_update = slice_update_factory(self.mesh,
                                            sharded=self._shard_dataset)
@@ -312,8 +310,8 @@ class CrowdExperiment(Experiment):
                 f"of steps_per_dispatch={settings.steps_per_dispatch} "
                 f"(refreshes happen at chunk boundaries)")
         return HBMWindow(
-            names, sources, shard_ids, window,
-            settings.crowd_window_slices,
+            names, sources, num_examples, window,
+            settings.crowd_window_slices, num_shards=d,
             # Same [seed, stream, start] convention as the other data
             # RNGs: distinct stream ids per window (equal-sized labeled/
             # unlabeled splits would otherwise rotate through IDENTICAL

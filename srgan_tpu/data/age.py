@@ -79,7 +79,14 @@ def preprocess_imdb_wiki(root_directory: str, mat_path: str,
     if skipped:
         # At real IMDB-WIKI scale a wrong root_directory silently
         # producing an empty database would exit 0 (found by
-        # tools/imdb_wiki_rehearsal.py); surface the skip count.
+        # tools/imdb_wiki_rehearsal.py); surface the skip count — and
+        # hard-error when NOTHING resolved, since an all-skip run can
+        # only mean the images live somewhere else entirely.
+        if len(paths) and not valid.any():
+            raise FileNotFoundError(
+                f"none of the {len(valid)} metadata records resolve to "
+                f"an image file under {root_directory!r} — wrong "
+                f"root_directory?")
         import warnings
         warnings.warn(
             f"{skipped}/{len(valid)} metadata records point at image "

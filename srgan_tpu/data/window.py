@@ -29,10 +29,17 @@ img/s). This module is the missing middle tier:
   schedule (content at step t is a pure function of the seed), blocking
   on the DMA if IO cannot keep up.
 - Composes with ``crowd_shard_dataset`` (multi-chip): each data-parallel
-  shard holds W/d window rows and rotates over ITS contiguous block of
-  the split; refresh slices are device_put with batch sharding and the
-  update runs under ``shard_map`` at a shard-local offset, so the DMA and
-  the in-place update both stay local — no cross-device traffic.
+  shard holds W/d window rows; every drawn slice is distributed
+  shard-major (block s of the slice fills shard s's rows), refresh
+  slices are device_put with batch sharding and the update runs under
+  ``shard_map`` at a shard-local offset, so the DMA and the in-place
+  update both stay local — no cross-device traffic. One GLOBAL
+  per-pass-reshuffled stream feeds all shards (the shard an example
+  lands on varies pass to pass), so every example is resident — and
+  sampled — with identical frequency even when the split size does not
+  divide by the shard count (fixed per-shard blocks would over-weight
+  examples in the smaller blocks, the same bias ``shard_local_counts``
+  corrects on the non-windowed path).
 
 Reference parity note: the reference's answer to larger-than-RAM data is
 torch DataLoader worker processes re-reading from disk every batch
@@ -44,9 +51,53 @@ at IO speed, decoupling step rate from input bandwidth.
 from __future__ import annotations
 
 import concurrent.futures
+import queue
+import threading
 from typing import Callable, Dict, Optional, Sequence
 
 import numpy as np
+
+
+class _DaemonStager:
+    """Single daemon worker thread with a Future-returning ``submit``.
+
+    ``concurrent.futures.ThreadPoolExecutor`` workers are non-daemon and
+    joined at interpreter exit — and a window keeps one staged transfer
+    in flight at all times by design, so exit would always block on an
+    unneeded slice ``device_put`` (seconds per split at the remote-TPU
+    tunnel's ~25 MB/s, unbounded during its documented hangs — CLAUDE.md),
+    including on crash paths where the result is never used. A daemon
+    thread lets the process exit with the in-flight transfer abandoned.
+    """
+
+    def __init__(self, name: str):
+        self._queue: "queue.SimpleQueue" = queue.SimpleQueue()
+        self._thread = threading.Thread(
+            target=self._run, name=name, daemon=True)
+        self._thread.start()
+
+    def submit(self, fn: Callable) -> concurrent.futures.Future:
+        future: concurrent.futures.Future = concurrent.futures.Future()
+        self._queue.put((fn, future))
+        return future
+
+    def _run(self) -> None:
+        while True:
+            item = self._queue.get()
+            if item is None:
+                return
+            fn, future = item
+            if not future.set_running_or_notify_cancel():
+                continue
+            try:
+                future.set_result(fn())
+            except BaseException as exc:  # delivered via Future.result()
+                future.set_exception(exc)
+
+    def shutdown(self) -> None:
+        """Stop accepting work and end the worker once the queue drains
+        (never joins — the thread is daemon, so exit never blocks)."""
+        self._queue.put(None)
 
 
 def slice_update_factory(mesh=None, sharded: bool = False):
@@ -133,10 +184,12 @@ class HBMWindow:
         rows for those example ids (shape ``[len(ids), ...]``, final
         upload dtype). ``names[i]`` keys the device buffer in
         :attr:`arrays` (e.g. ``"labeled_images"``).
-    shard_example_ids:
-        One int array per data shard: the host example ids that shard
-        owns (a single full-range array for the replicated case). Each
-        shard rotates over its own ids.
+    num_examples / num_shards:
+        Split size and data-parallel shard count. One global per-pass
+        stream covers all ``num_examples`` ids; each drawn slice is laid
+        out shard-major (block s fills shard s's window rows), so every
+        example enters the window with identical frequency regardless of
+        ``num_examples % num_shards``.
     window / num_slices:
         W resident examples in ``num_slices`` slices of R = W/S. W must
         divide by S, and R and W by the shard count.
@@ -155,13 +208,12 @@ class HBMWindow:
 
     def __init__(self, names: Sequence[str],
                  sources: Sequence[Callable[[np.ndarray], np.ndarray]],
-                 shard_example_ids: Sequence[np.ndarray],
-                 window: int, num_slices: int, *, seed,
-                 put: Callable, make_update: Callable,
-                 refresh_period: int = 0):
+                 num_examples: int, window: int, num_slices: int, *,
+                 seed, put: Callable, make_update: Callable,
+                 refresh_period: int = 0, num_shards: int = 1):
         if len(names) != len(sources):
             raise ValueError("names and sources must be parallel")
-        d = len(shard_example_ids)
+        d = int(num_shards)
         if window % num_slices:
             raise ValueError(
                 f"crowd_hbm_window={window} must divide by "
@@ -172,34 +224,30 @@ class HBMWindow:
                 f"crowd_hbm_window={window} and its slice size "
                 f"{slice_size} must divide by the data-parallel shard "
                 f"count {d}")
-        for s, ids in enumerate(shard_example_ids):
-            if len(ids) == 0:
-                raise ValueError(f"data shard {s} owns no examples; the "
-                                 f"split is too small to shard-window")
+        if num_examples < 1:
+            raise ValueError("cannot window an empty split")
         self.names = list(names)
         self.window = int(window)
         self.num_slices = int(num_slices)
         self.slice_size = slice_size
         self._sources = list(sources)
-        self._shard_ids = [np.asarray(ids, np.int64)
-                           for ids in shard_example_ids]
+        self.num_examples = int(num_examples)
         self._d = d
         self._w_local = window // d          # window rows per shard
         self._r_local = slice_size // d      # slice rows per shard
         self._put = put
         self._updates = [make_update(name) for name in names]
         self.refresh_period = int(refresh_period)
-        # Per-shard deterministic rotation streams over LOCAL row indices.
-        base = list(np.atleast_1d(np.asarray(seed, np.int64)))
-        self._streams = [SliceStream(len(ids), self._r_local, base + [s])
-                         for s, ids in enumerate(self._shard_ids)]
+        # ONE global deterministic rotation stream over host example ids;
+        # each drawn slice is split shard-major, so per-example residency
+        # frequency is exactly once per pass for every shard count.
+        self._stream = SliceStream(num_examples, slice_size, seed)
         # Which host example id sits in each window row (shard-major
         # layout: shard s owns window rows [s*w_local, (s+1)*w_local)).
         self._resident = np.empty(window, np.int64)
         self.refresh_count = 0
         self._next_slot = 0
-        self._stager = concurrent.futures.ThreadPoolExecutor(
-            max_workers=1, thread_name_prefix="hbm-window")
+        self._stager = _DaemonStager("hbm-window")
         self._staged: Optional[concurrent.futures.Future] = None
         self._last_boundary = -1
         self._fill_initial()
@@ -208,9 +256,7 @@ class HBMWindow:
     # ------------------------------------------------------------- plumbing
     def _draw_slice_ids(self) -> np.ndarray:
         """[slice_size] host example ids, shard-major ([r_local] each)."""
-        return np.concatenate([
-            self._shard_ids[s][self._streams[s].next_ids()]
-            for s in range(self._d)])
+        return self._stream.next_ids()
 
     def _assemble(self, source, host_ids: np.ndarray) -> np.ndarray:
         return np.ascontiguousarray(source(host_ids))
@@ -298,4 +344,4 @@ class HBMWindow:
         return self._resident.copy()
 
     def close(self) -> None:
-        self._stager.shutdown(wait=False, cancel_futures=True)
+        self._stager.shutdown()

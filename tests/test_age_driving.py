@@ -223,6 +223,30 @@ class TestDatabasePathChains:
         assert len(exp.test_dataset) == 4
         assert np.isfinite(exp.test()["MAE"])
 
+    def test_age_preprocess_wrong_root_is_hard_error(self, tmp_path):
+        """A root_directory under which NO metadata record resolves must
+        raise, not warn-and-write an empty database with exit 0 (the
+        all-skip case can only mean the images live elsewhere)."""
+        from srgan_tpu.data.age import preprocess_imdb_wiki
+
+        n = 4
+        full_path = np.empty((1, n), object)
+        for i in range(n):
+            full_path[0, i] = np.array([f"00/img_{i}.jpg"])
+        wiki = np.zeros((1, 1), dtype=[
+            ("dob", object), ("photo_taken", object),
+            ("full_path", object), ("face_score", object),
+            ("second_face_score", object)])
+        wiki[0, 0] = (np.full((1, n), 693962.0),
+                      np.full((1, n), 1950.0), full_path,
+                      np.full((1, n), 2.0), np.full((1, n), np.nan))
+        savemat(tmp_path / "wiki.mat", {"wiki": wiki})
+
+        with pytest.raises(FileNotFoundError, match="root_directory"):
+            preprocess_imdb_wiki(str(tmp_path / "nonexistent"),
+                                 str(tmp_path / "wiki.mat"),
+                                 image_size=16)
+
     def test_driving_npz_to_training(self, tmp_path):
         import jax
         from srgan_tpu.data.driving import load_driving_recording

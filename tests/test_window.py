@@ -72,17 +72,15 @@ class TestHBMWindow:
             mesh = pmesh.make_mesh(d)
             sharding = pmesh.batch_sharding(mesh)
             make_update = slice_update_factory(mesh, sharded=True)
-            shard_ids = np.array_split(np.arange(n), d)
         else:
             sharding = None
             make_update = slice_update_factory()
-            shard_ids = [np.arange(n)]
 
         put = (lambda a: jax.device_put(a, sharding)) if sharding \
             else jax.device_put
         window = HBMWindow(
-            ["images"], [lambda ids, a=images: a[ids]], shard_ids,
-            window, slices, seed=[0, 7, 0], put=put,
+            ["images"], [lambda ids, a=images: a[ids]], n,
+            window, slices, seed=[0, 7, 0], put=put, num_shards=d,
             make_update=make_update, refresh_period=period)
         return window
 
@@ -154,23 +152,54 @@ class TestHBMWindow:
             window.close()
 
     def test_sharded_window_contents(self):
-        """8-way sharded window: per-shard rotation, shard_map update —
-        device contents still match host bookkeeping row for row."""
+        """8-way sharded window: global rotation distributed shard-major,
+        shard_map update — device contents match host bookkeeping row for
+        row."""
         import jax
 
         window = self._make(n=32, window=16, slices=2, period=1, d=8)
         try:
+            seen = set(window.resident_ids().tolist())
             for step in range(1, 6):
                 window.maybe_refresh(step)
                 device = np.asarray(
                     jax.device_get(window.arrays["images"]))[:, 0, 0, 0]
                 np.testing.assert_array_equal(device.astype(np.int64),
                                               window.resident_ids())
-            # Each shard only rotates over ITS contiguous block of 4 ids.
-            resident = window.resident_ids().reshape(8, 2)
-            for s in range(8):
-                block = set(range(s * 4, (s + 1) * 4))
-                assert set(resident[s].tolist()) <= block
+                seen.update(window.resident_ids().tolist())
+            # Initial fill (16) + 5 refreshes (8 each) = 56 ids > one
+            # 32-id pass: every example has been resident on SOME shard.
+            assert seen == set(range(32))
+        finally:
+            window.close()
+
+    def test_sharded_window_uniform_when_not_divisible(self):
+        """Split size not divisible by the shard count: every example is
+        still resident exactly once per global pass (fixed per-shard
+        blocks of unequal size would over-sample the small blocks)."""
+        n = 10  # 10 examples, 8 shards: fixed blocks would be 2s and 1s
+        window = self._make(n=n, window=16, slices=2, period=1, d=8)
+        try:
+            for step in range(1, 4):
+                assert window.maybe_refresh(step)
+            # The window feeds on ONE global stream: its slice draws cover
+            # every example exactly once per pass, so residency frequency
+            # is uniform. Check the same stream's per-pass coverage.
+            from srgan_tpu.data.window import SliceStream
+            stream = SliceStream(n, 8, seed=[0, 7, 0])
+            drawn = np.concatenate([stream.next_ids() for _ in range(5)])
+            for p in range(4):
+                np.testing.assert_array_equal(
+                    np.sort(drawn[p * n:(p + 1) * n]), np.arange(n))
+        finally:
+            window.close()
+
+    def test_staging_thread_is_daemon(self):
+        """Process exit must never block on the always-in-flight staged
+        transfer (remote-TPU tunnel hangs are unbounded — CLAUDE.md)."""
+        window = self._make()
+        try:
+            assert window._stager._thread.daemon
         finally:
             window.close()
 

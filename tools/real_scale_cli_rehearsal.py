@@ -187,10 +187,16 @@ def main(argv=None) -> int:
                 float(np.median(rates[1:] or rates)), 1)
             report["throughput_samples"] = [round(r, 1) for r in rates]
         print(json.dumps(report, indent=2))
-        return 0
-    finally:
+        # Clean up only on SUCCESS: the raw/db artifacts take ~an hour to
+        # regenerate and are exactly what --skip-gen reuses and what a
+        # failure post-mortem needs — never delete them on error paths.
         if not args.keep:
             shutil.rmtree(args.work_dir, ignore_errors=True)
+        return 0
+    except BaseException:
+        print(f"leaving work tree for inspection/--skip-gen reuse: "
+              f"{args.work_dir}", file=sys.stderr)
+        raise
 
 
 if __name__ == "__main__":

@@ -209,9 +209,10 @@ def main(argv=None) -> None:
         return float(np.asarray(
             jax.device_get(metrics["d_total_loss"])).ravel()[-1])
 
-    for _ in range(args.warmup):
-        metrics = one_step()
-    sync(metrics)
+    if args.warmup:
+        for _ in range(args.warmup):
+            metrics = one_step()
+        sync(metrics)
     refreshes_before = [w.refresh_count for w in exp._windows]
 
     start = time.perf_counter()
