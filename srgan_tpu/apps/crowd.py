@@ -254,6 +254,11 @@ class CrowdExperiment(Experiment):
         """Resident window size for a training split: 0 = fully resident
         (window tier off, or the split already fits)."""
         win = self.settings.crowd_hbm_window
+        if win and self.settings.crowd_window_slices < 1:
+            raise ValueError(
+                f"crowd_window_slices="
+                f"{self.settings.crowd_window_slices} must be a positive "
+                f"slice count when crowd_hbm_window is set")
         if win and len(db) > win:
             return win
         return 0

@@ -214,6 +214,9 @@ class HBMWindow:
         if len(names) != len(sources):
             raise ValueError("names and sources must be parallel")
         d = int(num_shards)
+        if num_slices < 1:
+            raise ValueError(
+                f"crowd_window_slices={num_slices} must be positive")
         if window % num_slices:
             raise ValueError(
                 f"crowd_hbm_window={window} must divide by "

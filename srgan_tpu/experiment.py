@@ -283,6 +283,9 @@ class Experiment:
         """Full trial: the reference's `Experiment.train()` call stack
         (SURVEY.md §3.1), with the hot loop fused under jit."""
         settings = self.settings
+        # A prior prepare_for_evaluation() on this object must not leak
+        # its training-split-upload skips into a full training run.
+        self._evaluation_only = False
         previous_debug_nans = jax.config.jax_debug_nans
         if settings.debug_nans:
             jax.config.update("jax_debug_nans", True)

@@ -372,7 +372,23 @@ class TestCrowdWindowIntegration:
         assert "labeled_images" not in evaluator._device_data
         assert "unlabeled_images" not in evaluator._device_data
         assert np.isfinite(evaluator.evaluate()["MAE"])
+        # Eval-then-train on the SAME object must not leak the eval-only
+        # upload skips into the training run (found by code review r5).
+        state = evaluator.train()
+        assert int(np.asarray(state.step)) == 6
+        assert "labeled_images" in evaluator._device_data
         evaluator.close()
+
+    def test_zero_window_slices_is_config_error(self, tmp_path):
+        """crowd_window_slices=0 with an active window must raise a
+        descriptive ValueError, not ZeroDivisionError in the budget
+        arithmetic."""
+        from srgan_tpu.apps.crowd import CrowdExperiment
+
+        exp = CrowdExperiment(self._settings(tmp_path,
+                                             crowd_window_slices=0))
+        with pytest.raises(ValueError, match="crowd_window_slices"):
+            exp.train()
 
     def test_labeled_unlabeled_windows_rotate_independently(self,
                                                             tmp_path):

@@ -72,8 +72,9 @@ def synthesize_raw(root: str, records: int, images: int, seed: int
     dob[dirt < 0.02] = np.nan                      # unknown DOB
     dob[(dirt >= 0.02) & (dirt < 0.03)] = np.inf   # corrupt DOB
     face_score[(dirt >= 0.03) & (dirt < 0.18)] = -np.inf  # no face found
-    second_face[(dirt >= 0.18) & (dirt < 0.28)] = \
-        rng.uniform(0.5, 5.0)                      # second face present
+    second_mask = (dirt >= 0.18) & (dirt < 0.28)   # second face present
+    second_face[second_mask] = rng.uniform(0.5, 5.0,
+                                           int(second_mask.sum()))
     photo_taken[(dirt >= 0.28) & (dirt < 0.30)] = 1800.0  # negative age
     missing = (dirt >= 0.30) & (dirt < 0.32)       # file absent on disk
     full_path = np.empty((1, records), object)
