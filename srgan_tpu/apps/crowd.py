@@ -353,7 +353,8 @@ class CrowdExperiment(Experiment):
         the window keeps only a rotating W-example window resident
         (data/window.py): the sampler sees a full-speed HBM buffer of W
         examples while retired slices refresh asynchronously from the
-        host. Composes with dataset sharding (per-shard windows).
+        host. Composes with dataset sharding (one global rotation
+        stream laid out shard-major over per-shard window rows).
         """
         settings = self.settings
         # Rebuilds (repeat prepare_train_step calls) must not leak the
